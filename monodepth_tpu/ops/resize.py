@@ -1,0 +1,123 @@
+"""Bilinear / nearest resize with exact PyTorch `F.interpolate` semantics.
+
+The PyTorch reference resizes constantly and with *mixed* conventions:
+
+- encoder input to 224x224: bilinear, align_corners=False (reference encoder.py:141)
+- decoder per-level x2 upsample: bilinear, align_corners=True (reference decoder.py:120)
+- skip-feature size fixups: bilinear, align_corners=True (reference decoder.py:139-142)
+- final output resize to input size: bilinear, align_corners=False (reference model.py:97-100)
+- `layers.upsample`: nearest, x2 (reference layers.py:196-199)
+
+`jax.image.resize` does not implement PyTorch's align_corners=True convention and
+anti-aliases by default, so we implement the resampling directly.  Because all
+shapes are static under jit, index/weight tables are computed with NumPy at trace
+time and embedded as constants; the resize itself is two separable weighted
+gathers, which XLA fuses well on TPU.
+
+Layout: NHWC (batch, height, width, channels).  Also accepts HWC / HW arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_bilinear", "resize_nearest", "upsample2x_nearest"]
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_index_weights(in_size: int, out_size: int, align_corners: bool):
+    """Source indices (lo, hi) and hi-weights for 1-D linear resampling.
+
+    Mirrors PyTorch's `area_pixel_compute_source_index` (negative source
+    coordinates clamp to 0 in the align_corners=False mode).
+    """
+    # PyTorch computes the scale and source coordinate in float32 on the CPU
+    # path (area_pixel_compute_scale<float>); match that for bit-level parity.
+    dst = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros_like(dst)
+        else:
+            scale = np.float32(in_size - 1) / np.float32(out_size - 1)
+            src = dst * scale
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        src = scale * (dst + np.float32(0.5)) - np.float32(0.5)
+        src = np.maximum(src, np.float32(0.0))
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(in_size: int, out_size: int):
+    """PyTorch 'nearest' (legacy) source indices: floor(dst * in / out)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.floor(dst * (in_size / out_size)).astype(np.int64)
+    return np.clip(src, 0, in_size - 1)
+
+
+def _axis_for(x: jnp.ndarray):
+    """Return (h_axis, w_axis) for NHWC / HWC / HW arrays."""
+    if x.ndim == 4:
+        return 1, 2
+    if x.ndim == 3:
+        return 0, 1
+    if x.ndim == 2:
+        return 0, 1
+    raise ValueError(f"resize expects 2-4D array, got shape {x.shape}")
+
+
+def _resize_axis_linear(x, in_size, out_size, axis, align_corners):
+    if in_size == out_size:
+        return x
+    lo, hi, w_hi = _linear_index_weights(in_size, out_size, align_corners)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(w_hi).reshape(shape).astype(x.dtype)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    return x_lo * (1 - w) + x_hi * w
+
+
+def resize_bilinear(x, size, align_corners: bool = False):
+    """Resize spatial dims to `size=(H, W)` with PyTorch bilinear semantics.
+
+    Matches `torch.nn.functional.interpolate(mode='bilinear', align_corners=...)`
+    exactly (no anti-aliasing), for NHWC / HWC / HW inputs.
+    """
+    h_axis, w_axis = _axis_for(x)
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    x = _resize_axis_linear(x, in_h, out_h, h_axis, align_corners)
+    x = _resize_axis_linear(x, in_w, out_w, w_axis, align_corners)
+    return x
+
+
+def resize_nearest(x, size):
+    """Resize spatial dims with PyTorch `mode='nearest'` semantics."""
+    h_axis, w_axis = _axis_for(x)
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    if in_h != out_h:
+        x = jnp.take(x, jnp.asarray(_nearest_indices(in_h, out_h)), axis=h_axis)
+    if in_w != out_w:
+        x = jnp.take(x, jnp.asarray(_nearest_indices(in_w, out_w)), axis=w_axis)
+    return x
+
+
+def upsample2x_nearest(x):
+    """Upsample by 2 with nearest neighbours (reference layers.py:196-199).
+
+    Implemented as a reshape-broadcast (cheaper than gather for the exact-2x
+    case; identical result to PyTorch `interpolate(scale_factor=2, mode='nearest')`).
+    """
+    h_axis, w_axis = _axis_for(x)
+    x = jnp.repeat(x, 2, axis=h_axis)
+    x = jnp.repeat(x, 2, axis=w_axis)
+    return x

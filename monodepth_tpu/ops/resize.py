@@ -57,8 +57,10 @@ def _linear_index_weights(in_size: int, out_size: int, align_corners: bool):
 @functools.lru_cache(maxsize=None)
 def _nearest_indices(in_size: int, out_size: int):
     """PyTorch 'nearest' (legacy) source indices: floor(dst * in / out)."""
-    dst = np.arange(out_size, dtype=np.float64)
-    src = np.floor(dst * (in_size / out_size)).astype(np.int64)
+    # float32 scale to match PyTorch's nearest_neighbor_compute_source_index.
+    dst = np.arange(out_size, dtype=np.float32)
+    scale = np.float32(in_size) / np.float32(out_size)
+    src = np.floor(dst * scale).astype(np.int64)
     return np.clip(src, 0, in_size - 1)
 
 

@@ -1,0 +1,165 @@
+"""Depth-Anything-style ViT feature encoder (flax.linen, NHWC).
+
+Mirrors the reference `DepthAnythingEncoder` (encoder.py:16-187):
+
+- BatchNorm over the 3 input channels (encoder.py:58, 129)
+- range normalization to [-1, 1] with the reference's data-dependent rules
+  (encoder.py:131-135), implemented with traced scalar conditions
+- bilinear resize to 224x224 before the ViT (encoder.py:140-144) in parity
+  mode; `native_patching=True` runs the ViT at native resolution with
+  interpolated position embeddings (the TPU performance path, SURVEY.md §3.6)
+- taps at transformer blocks [2, 5, 8, 11] (encoder.py:44-50)
+- token->grid reshape reproducing the reference's 14x15 CLS+zero-pad quirk
+  exactly (encoder.py:69-110; SURVEY.md §3.6): for any input whose
+  (H/16, W/16) grid doesn't match the 197-token sequence, the CLS token is
+  kept as grid cell (0,0) and the sequence is zero-padded to 14x15
+- per-tap 1x1 channel reduction 768->256 + instance norm (encoder.py:156-174)
+
+num_ch_enc = [256, 256, 256, 256] (encoder.py:26).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from monodepth_tpu.models.vit import VisionTransformer
+from monodepth_tpu.ops.resize import resize_bilinear
+
+__all__ = ["DepthAnythingEncoder", "NUM_CH_ENC"]
+
+NUM_CH_ENC = (256, 256, 256, 256)
+
+
+def _instance_norm(x, eps: float = 1e-5):
+    """F.instance_norm equivalent: per-sample per-channel over H, W; no affine.
+
+    Statistics in float32 for bf16 safety.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
+
+
+def _range_normalize(x):
+    """Reference encoder.py:131-135: conditional /255 then [0,1] -> [-1,1].
+
+    The conditions are data-dependent scalars; under jit they become traced
+    selects over the whole array (cheap, fused by XLA).
+    """
+    xmax = jnp.max(x)
+    x = jnp.where(xmax > 1.0, x / 255.0, x)
+    xmin2 = jnp.min(x)
+    xmax2 = jnp.max(x)
+    in_unit = jnp.logical_and(xmin2 >= 0.0, xmax2 <= 1.0)
+    return jnp.where(in_unit, 2.0 * x - 1.0, x)
+
+
+def token_grid_shape(tokens: int, feature_h: int, feature_w: int):
+    """Static computation of the reference's token->grid shape logic.
+
+    Returns (grid_h, grid_w, strip_cls, pad_tokens).  Reproduces
+    encoder.py:69-110: strip CLS only when tokens == h*w + 1, otherwise keep
+    CLS in the grid and zero-pad to the derived (new_h, new_w).
+    """
+    if tokens == feature_h * feature_w + 1:
+        return feature_h, feature_w, True, 0
+    if tokens == feature_h * feature_w:
+        return feature_h, feature_w, False, 0
+    new_h = int(math.isqrt(tokens))
+    new_w = tokens // new_h
+    if new_h * new_w < tokens:
+        new_w += 1
+    pad = new_h * new_w - tokens
+    return new_h, new_w, False, pad
+
+
+class DepthAnythingEncoder(nn.Module):
+    """ViT feature encoder producing 4 NHWC feature maps of 256 channels."""
+
+    tap_indices: Sequence[int] = (2, 5, 8, 11)
+    vit_image_size: int = 224
+    native_patching: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @property
+    def num_ch_enc(self):
+        return NUM_CH_ENC
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+
+        # Input BatchNorm over 3 channels (reference encoder.py:58, 129).
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="normalize",
+        )(x)
+        x = _range_normalize(x).astype(self.dtype)
+
+        vit = VisionTransformer(
+            image_size=self.vit_image_size,
+            tap_indices=tuple(self.tap_indices),
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="vit",
+        )
+
+        if self.native_patching:
+            # Performance mode: run the ViT at native (padded) resolution with
+            # bilinearly interpolated position embeddings; clean CLS-stripped
+            # (H/16, W/16) grids.  Not the parity path.
+            taps = _apply_vit_native(vit, x)
+            grid_h, grid_w = h // 16, w // 16
+            strip_cls, pad = True, 0
+        else:
+            if (h, w) != (self.vit_image_size, self.vit_image_size):
+                x_vit = resize_bilinear(
+                    x, (self.vit_image_size, self.vit_image_size), align_corners=False
+                )
+            else:
+                x_vit = x
+            taps = vit(x_vit)
+            tokens = taps[0].shape[1]
+            # Reference grid expectation comes from the *original* (padded)
+            # input size, not the 224 resize (encoder.py:151-153).
+            grid_h, grid_w, strip_cls, pad = token_grid_shape(tokens, h // 16, w // 16)
+
+        features = []
+        for i, tok in enumerate(taps):
+            if strip_cls:
+                tok = tok[:, 1:, :]
+            if pad:
+                tok = jnp.concatenate(
+                    [tok, jnp.zeros((b, pad, tok.shape[-1]), tok.dtype)], axis=1
+                )
+            grid = tok.reshape(b, grid_h, grid_w, tok.shape[-1])
+            reduced = nn.Conv(
+                NUM_CH_ENC[i],
+                kernel_size=(1, 1),
+                dtype=self.dtype,
+                name=f"channel_reduce_{i}",
+            )(grid)
+            features.append(_instance_norm(reduced))
+        return features
+
+
+def _apply_vit_native(vit: VisionTransformer, x):
+    """Run the ViT at native resolution by interpolating position embeddings.
+
+    Uses nn.apply-style module surgery: we re-declare an inner ViT whose
+    image_size matches x, sharing parameters, with the (1, 197, C) position
+    embedding resampled to the native token grid.
+    """
+    raise NotImplementedError(
+        "native_patching is wired in a later milestone (Pallas blockwise "
+        "attention at 4096 tokens); use the parity path for now."
+    )

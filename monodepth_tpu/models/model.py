@@ -1,0 +1,119 @@
+"""Standard DepthAnything assembly (flax.linen, NHWC).
+
+Mirrors the reference `DepthAnything` (model.py:12-102):
+
+- pad input to a multiple of 16 via bilinear resize (model.py:51-54)
+- encoder -> decoder (model.py:57-60)
+- source-specific disparity scaling (model.py:63-92) — the metadata->scale
+  rule is host-side (`disp_scale_factor`); the scale enters the jitted
+  forward as a traced scalar or per-sample [B] vector
+- resize all ("disp", s) outputs to the original input size, bilinear
+  align_corners=False (model.py:95-100)
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from monodepth_tpu.models.decoder import DepthAnythingDecoder
+from monodepth_tpu.models.encoder import NUM_CH_ENC, DepthAnythingEncoder
+from monodepth_tpu.ops.resize import resize_bilinear
+
+__all__ = ["DepthAnything", "disp_scale_factor", "pad_to_multiple_of_16"]
+
+
+def disp_scale_factor(metadata: Optional[Mapping]) -> float:
+    """Source-specific disparity scale (reference model.py:63-92).
+
+    rover: 2.0 / max(height, 0.1) if height given else 1.0
+    ingenuity: 10.0 / max(altitude, 1.0) if altitude given else 0.5
+    satellite: 0.01; anything else: 1.0.
+    """
+    if metadata is None or "source" not in metadata:
+        return 1.0
+    source = metadata["source"]
+    if source == "rover":
+        if "height" in metadata:
+            return 2.0 / max(metadata["height"], 0.1)
+        return 1.0
+    if source == "ingenuity":
+        if "altitude" in metadata:
+            return 10.0 / max(metadata["altitude"], 1.0)
+        return 0.5
+    if source == "satellite":
+        return 0.01
+    return 1.0
+
+
+def pad_to_multiple_of_16(x):
+    """Reference model.py:51-54: bilinear-resize up to the next /16 size.
+
+    Note the reference's `(dim // 16 + 1) * 16` rounds *up past* exact
+    multiples only when not already a multiple (guarded by the modulo check).
+    """
+    h, w = x.shape[1], x.shape[2]
+    if h % 16 != 0 or w % 16 != 0:
+        new_h = (h // 16 + 1) * 16
+        new_w = (w // 16 + 1) * 16
+        x = resize_bilinear(x, (new_h, new_w), align_corners=False)
+    return x
+
+
+def _broadcast_scale(disp_scale, batch: int, dtype):
+    if disp_scale is None:
+        return None
+    scale = jnp.asarray(disp_scale, dtype=dtype)
+    if scale.ndim == 0:
+        return scale
+    return scale.reshape(batch, 1, 1, 1)
+
+
+class DepthAnything(nn.Module):
+    """Standard Mars depth model.
+
+    `__call__(x, disp_scale=None, train=False)`:
+      x: [B, H, W, 3] image in [0, 1] (or [0, 255]; the encoder's range
+         normalization handles both, reference encoder.py:131-135).
+      disp_scale: scalar or [B] per-sample disparity scale from
+         `disp_scale_factor` (None = no scaling, matching metadata=None).
+
+    Returns {("disp", s): [B, H, W, 1]} for s in scales.
+    """
+
+    scales: Sequence[int] = (0, 1, 2, 3)
+    native_patching: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, disp_scale=None, train: bool = False):
+        original_size = x.shape[1:3]
+        x = pad_to_multiple_of_16(x)
+
+        features = DepthAnythingEncoder(
+            native_patching=self.native_patching,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="encoder",
+        )(x, train=train)
+
+        outputs = DepthAnythingDecoder(
+            num_ch_enc=NUM_CH_ENC,
+            scales=tuple(self.scales),
+            dtype=self.dtype,
+            name="decoder",
+        )(features, train=train)
+
+        scale = _broadcast_scale(disp_scale, x.shape[0], x.dtype)
+        if scale is not None:
+            outputs = {k: v * scale for k, v in outputs.items()}
+
+        resized = {}
+        for key, v in outputs.items():
+            if key[0] == "disp" and v.shape[1:3] != original_size:
+                v = resize_bilinear(v, original_size, align_corners=False)
+            resized[key] = v
+        return resized

@@ -1,0 +1,149 @@
+"""ViT-B/16 backbone (flax.linen, NHWC) with intermediate feature taps.
+
+Semantics mirror torchvision's `vit_b_16` (the reference's pretraining source,
+reference encoder.py:29-35) so converted IMAGENET1K_V1 weights reproduce it:
+
+- 16x16 conv patch embed, CLS token, learned position embedding (197, 768)
+- pre-LN transformer blocks: LN -> MHA -> +res -> LN -> MLP(GELU exact) -> +res
+- LayerNorm eps 1e-6, attention scale 1/sqrt(head_dim)
+- the reference's forward hooks on blocks [2, 5, 8, 11] (encoder.py:44-50)
+  become explicitly returned intermediate activations — the JAX-idiomatic
+  replacement for hooks.  Tapped values are the block outputs *before* the
+  final encoder LayerNorm, exactly what a torchvision forward hook captures.
+
+The attention can route through a fused Pallas TPU kernel
+(`monodepth_tpu.ops.pallas.attention`) selected by `attn_impl`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from monodepth_tpu.ops.attention import multi_head_attention
+
+__all__ = ["VisionTransformer"]
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        # torch.nn.GELU default is the exact erf formulation.
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        # Pre-LN attention with residual.
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
+        dim = y.shape[-1]
+        qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn_out = multi_head_attention(
+            q, k, v, num_heads=self.num_heads, impl=self.attn_impl
+        )
+        attn_out = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn_out)
+        x = x + attn_out
+        # Pre-LN MLP with residual.
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
+        y = MlpBlock(self.mlp_dim, dim, dtype=self.dtype, name="mlp")(y)
+        return x + y
+
+
+class VisionTransformer(nn.Module):
+    """ViT backbone returning tapped intermediate token sequences.
+
+    Args to `__call__`:
+      x: [B, H, W, 3] image, H == W == `image_size`.
+
+    Returns:
+      list of [B, 1 + (H/16)*(W/16), C] token tensors, one per entry of
+      `tap_indices` (block outputs, pre-final-LN), in ascending block order.
+    """
+
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    tap_indices: Sequence[int] = (2, 5, 8, 11)
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        assert h == self.image_size and w == self.image_size, (
+            f"ViT expects {self.image_size}x{self.image_size} input, got {h}x{w}"
+        )
+        n_h = h // self.patch_size
+        n_w = w // self.patch_size
+        seq_len = n_h * n_w + 1
+
+        # Patch embedding: 16x16 conv, stride 16 (NHWC, HWIO kernel).
+        x = nn.Conv(
+            self.hidden_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, n_h * n_w, self.hidden_dim)
+
+        cls_token = self.param(
+            "cls_token",
+            nn.initializers.zeros_init(),
+            (1, 1, self.hidden_dim),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, self.hidden_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+
+        pos_embedding = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, seq_len, self.hidden_dim),
+            jnp.float32,
+        )
+        x = x + pos_embedding.astype(x.dtype)
+
+        taps = []
+        tap_set = set(self.tap_indices)
+        max_tap = max(tap_set)
+        for i in range(self.num_layers):
+            x = EncoderBlock(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"block_{i}",
+            )(x)
+            if i in tap_set:
+                taps.append(x)
+            if i == max_tap and len(taps) == len(tap_set):
+                # Remaining blocks (and the final LN) don't feed the decoder;
+                # skip them to save compute.  With taps=(2,5,8,11) nothing is
+                # skipped for ViT-B/12 except the final LayerNorm, matching
+                # the reference's hook semantics (hooks fire pre-encoder.ln).
+                break
+        return taps

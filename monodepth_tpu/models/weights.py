@@ -1,0 +1,212 @@
+"""PyTorch -> JAX weight conversion and pretrained-weight loading.
+
+Converts:
+- torchvision `vit_b_16` state dicts (the reference's pretraining source,
+  reference encoder.py:29-35) into our `VisionTransformer` params;
+- full reference checkpoints (`DepthAnything` / `EnhancedDepthAnything`
+  `state_dict()` saves, reference mars_adapter.py:249-262) into our model
+  params + batch stats, so Mars fine-tuned reference weights load directly.
+
+Handles the torch->flax layout changes: Linear [out,in] -> kernel [in,out],
+Conv2d OIHW -> HWIO, packed qkv in_proj -> single Dense, BatchNorm running
+stats -> the `batch_stats` collection.  Accepts both old (`mlp.linear_1`) and
+new (`mlp.0`) torchvision MLP namings.
+
+No network access is assumed: `find_vit_weights()` looks for a local file
+(env `MONODEPTH_TPU_VIT_WEIGHTS` or the torch-hub cache); absent that,
+models start from random init with a warning — matching `pretrained=False`.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+__all__ = [
+    "convert_vit_state_dict",
+    "convert_reference_state_dict",
+    "find_vit_weights",
+    "load_torch_state_dict",
+]
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / ndarray -> float32 ndarray."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd, prefix):
+    return {"kernel": _t(sd[prefix + ".weight"]).T, "bias": _t(sd[prefix + ".bias"])}
+
+
+def _conv(sd, prefix):
+    return {
+        "kernel": _t(sd[prefix + ".weight"]).transpose(2, 3, 1, 0),
+        "bias": _t(sd[prefix + ".bias"]),
+    }
+
+
+def _layernorm(sd, prefix):
+    return {"scale": _t(sd[prefix + ".weight"]), "bias": _t(sd[prefix + ".bias"])}
+
+
+def _batchnorm(sd, prefix):
+    params = {"scale": _t(sd[prefix + ".weight"]), "bias": _t(sd[prefix + ".bias"])}
+    stats = {
+        "mean": _t(sd[prefix + ".running_mean"]),
+        "var": _t(sd[prefix + ".running_var"]),
+    }
+    return params, stats
+
+
+def _mlp_key(sd, prefix, which):
+    """torchvision MLP naming: new `mlp.{0,3}` or old `mlp.linear_{1,2}`."""
+    new = f"{prefix}.{0 if which == 1 else 3}"
+    old = f"{prefix}.linear_{which}"
+    if new + ".weight" in sd:
+        return new
+    if old + ".weight" in sd:
+        return old
+    raise KeyError(f"MLP weights not found under {new} or {old}")
+
+
+def convert_vit_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
+    """torchvision vit_b_16 state dict -> our VisionTransformer params tree."""
+    params: Dict = {
+        "patch_embed": _conv(sd, "conv_proj"),
+        "cls_token": _t(sd["class_token"]),
+        "pos_embedding": _t(sd["encoder.pos_embedding"]),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.encoder_layer_{i}"
+        attn = f"{p}.self_attention"
+        block = {
+            "ln_1": _layernorm(sd, f"{p}.ln_1"),
+            "ln_2": _layernorm(sd, f"{p}.ln_2"),
+            "qkv": {
+                "kernel": _t(sd[attn + ".in_proj_weight"]).T,
+                "bias": _t(sd[attn + ".in_proj_bias"]),
+            },
+            "out_proj": _linear(sd, attn + ".out_proj"),
+            "mlp": {
+                "fc1": _linear(sd, _mlp_key(sd, f"{p}.mlp", 1)),
+                "fc2": _linear(sd, _mlp_key(sd, f"{p}.mlp", 2)),
+            },
+        }
+        params[f"block_{i}"] = block
+    return params
+
+
+def _convert_convblock(sd, prefix):
+    """Reference decoder ConvBlock: Sequential(Conv3x3, BN, ELU).
+
+    torch keys: `{prefix}.conv.0.conv.1.{weight,bias}` (conv inside the
+    reflect-pad Sequential) and `{prefix}.conv.1.*` (BatchNorm).
+    """
+    conv = _conv(sd, f"{prefix}.conv.0.conv.1")
+    bn_params, bn_stats = _batchnorm(sd, f"{prefix}.conv.1")
+    params = {"conv3x3": {"conv": conv}, "bn": bn_params}
+    stats = {"bn": bn_stats}
+    return params, stats
+
+
+def convert_reference_state_dict(sd: Mapping, enhanced: bool = False):
+    """Full reference model state dict -> (params, batch_stats) trees.
+
+    Accepts `DepthAnything().state_dict()` (torch naming, see docstring) and,
+    with `enhanced=True`, `EnhancedDepthAnything().state_dict()`.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    # --- encoder ---
+    enc_p: Dict = {"vit": convert_vit_state_dict(
+        {k[len("encoder.encoder."):]: v for k, v in sd.items()
+         if k.startswith("encoder.encoder.")}
+    )}
+    enc_s: Dict = {}
+    bn_p, bn_s = _batchnorm(sd, "encoder.normalize")
+    enc_p["normalize"] = bn_p
+    enc_s["normalize"] = bn_s
+    for i in range(4):
+        enc_p[f"channel_reduce_{i}"] = _conv(sd, f"encoder.channel_reduce.{i}")
+    params["encoder"] = enc_p
+    stats["encoder"] = enc_s
+
+    # --- decoder ---
+    dec_p: Dict = {}
+    dec_s: Dict = {}
+    block_names = ["init_conv", "mars_adapt"]
+    for i in range(4):
+        block_names += [f"upconv_{i}_0", f"upconv_{i}_1"]
+        if i < 3:
+            block_names.append(f"skip_{i}")
+    for name in block_names:
+        p, s = _convert_convblock(sd, f"decoder.convs.{name}")
+        dec_p[name] = p
+        dec_s[name] = s
+    for s_idx in range(4):
+        dec_p[f"dispconv_{s_idx}"] = _conv(sd, f"decoder.convs.dispconv_{s_idx}")
+    params["decoder"] = dec_p
+    stats["decoder"] = dec_s
+
+    if enhanced:
+        for i in (1, 2):
+            params[f"attention_{i}"] = {
+                "query": _conv(sd, f"attention_blocks.{i}.query"),
+                "key": _conv(sd, f"attention_blocks.{i}.key"),
+                "value": _conv(sd, f"attention_blocks.{i}.value"),
+                "gamma": _t(sd[f"attention_blocks.{i}.gamma"]),
+            }
+        params["uncertainty_module"] = {
+            f"conv{j}": _conv(sd, f"uncertainty_module.conv{j}") for j in (1, 2, 3)
+        }
+        params["refinement"] = {
+            f"conv{j}": _conv(sd, f"refinement.conv{j}") for j in (1, 2, 3)
+        }
+        params["feature_fusion"] = {"weights": _t(sd["feature_fusion.weights"])}
+
+    return params, stats
+
+
+def find_vit_weights() -> Optional[str]:
+    """Locate a local torchvision vit_b_16 checkpoint, if any."""
+    env = os.environ.get("MONODEPTH_TPU_VIT_WEIGHTS")
+    if env and os.path.exists(env):
+        return env
+    hub = os.path.join(
+        os.path.expanduser(os.environ.get("TORCH_HOME", "~/.cache/torch")),
+        "hub", "checkpoints",
+    )
+    if os.path.isdir(hub):
+        for name in sorted(os.listdir(hub)):
+            if name.startswith("vit_b_16") and name.endswith(".pth"):
+                return os.path.join(hub, name)
+    return None
+
+
+def load_torch_state_dict(path: str) -> Dict:
+    """Load a .pth state dict on CPU (weights only)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+def maybe_load_pretrained_vit() -> Optional[Dict]:
+    """Return converted ViT params if a local checkpoint exists, else None."""
+    path = find_vit_weights()
+    if path is None:
+        warnings.warn(
+            "No local ViT-B/16 checkpoint found (set MONODEPTH_TPU_VIT_WEIGHTS); "
+            "encoder starts from random init (pretrained=False behavior)."
+        )
+        return None
+    return convert_vit_state_dict(load_torch_state_dict(path))

@@ -1,0 +1,74 @@
+"""Multi-head attention with selectable implementation (XLA jnp or Pallas TPU).
+
+The jnp path is the numeric reference (matches torch.nn.MultiheadAttention with
+packed qkv, softmax over keys, 1/sqrt(head_dim) scaling).  The Pallas path
+(`monodepth_tpu.ops.pallas.attention`) is the fused TPU kernel used on the
+performance path; it is validated against the jnp path in tests.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import nn as jnn
+
+__all__ = ["multi_head_attention", "spatial_self_attention"]
+
+
+def _mha_xla(q, k, v, num_heads: int):
+    b, s, d = q.shape
+    head_dim = d // num_heads
+
+    def split(x):
+        return x.reshape(b, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32)).astype(q.dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32)
+    weights = jnn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla"):
+    """Scaled dot-product MHA over [B, S, D] tensors (already q/k/v projected).
+
+    impl: 'xla' (jnp reference) or 'pallas' (fused TPU kernel).
+    """
+    if impl == "pallas":
+        from monodepth_tpu.ops.pallas.attention import fused_mha
+
+        return fused_mha(q, k, v, num_heads=num_heads)
+    return _mha_xla(q, k, v, num_heads)
+
+
+def spatial_self_attention(query, key, value, x, gamma, *, impl: str = "xla"):
+    """Non-local HWxHW spatial attention (reference enhanced_model.py:11-39).
+
+    Args:
+      query: [B, H, W, Cq] 1x1-projected queries.
+      key:   [B, H, W, Cq] 1x1-projected keys.
+      value: [B, H, W, C]  1x1-projected values.
+      x:     [B, H, W, C]  residual input.
+      gamma: scalar learnable residual weight.
+
+    Returns gamma * attn(value) + x, where attn = softmax(Q K^T) over keys.
+    """
+    b, h, w, cq = query.shape
+    c = value.shape[-1]
+    n = h * w
+    q2 = query.reshape(b, n, cq)
+    k2 = key.reshape(b, n, cq)
+    v2 = value.reshape(b, n, c)
+    if impl == "pallas":
+        from monodepth_tpu.ops.pallas.attention import fused_spatial_attention
+
+        out = fused_spatial_attention(q2, k2, v2)
+    else:
+        # energy[b, i, j] = <q_i, k_j>; softmax over j (reference :28-29).
+        energy = jnp.einsum("bic,bjc->bij", q2, k2, preferred_element_type=jnp.float32)
+        attn = jnn.softmax(energy, axis=-1).astype(value.dtype)
+        # out_i = sum_j attn[i, j] * v_j   (reference :32-33 computes
+        # V @ attn^T in channel-major layout; identical contraction).
+        out = jnp.einsum("bij,bjc->bic", attn, v2, preferred_element_type=jnp.float32)
+    out = out.astype(value.dtype).reshape(b, h, w, c)
+    return gamma * out + x

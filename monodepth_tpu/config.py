@@ -1,0 +1,72 @@
+"""One dataclass-based config layer consumed by all CLIs (SURVEY.md §5).
+
+Canonical defaults preserved from the reference: max_size 1024
+(run_mars_depth.py:41), min/max depth 0.1/100.0 (enhanced_model.py:276),
+train 384x512 / batch 8 / lr 1e-4 with encoder lr/10 / StepLR(15, 0.5) /
+loss weights depth 1.0, smoothness 0.001 (mars_finetune.py:16-61,
+mars_adapter.py:49-68), source scales (model.py:63-92).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+MIN_DEPTH = 0.1
+MAX_DEPTH = 100.0
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    enhanced: bool = False
+    pretrained: bool = True
+    checkpoint: Optional[str] = None          # reference .pth or orbax dir
+    dtype: str = "float32"                    # 'float32' | 'bfloat16'
+    attn_impl: str = "xla"                    # 'xla' | 'pallas'
+    native_patching: bool = False
+    min_depth: float = MIN_DEPTH
+    max_depth: float = MAX_DEPTH
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    max_size: int = 1024
+    source: str = "auto"                      # auto|rover|ingenuity|satellite
+    batch_size: int = 1
+    output_dir: str = "./outputs"
+    visualizations: str = "standard"
+    terrain_reconstruction: bool = False
+    flyover: bool = False
+    benchmark: bool = False
+    multi_scale_fusion: bool = False
+    show: bool = False
+    data_parallel: bool = False               # shard batches over the mesh
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data_dir: str = "./data/mars_dataset"
+    source_type: str = "rover"
+    batch_size: int = 8
+    num_epochs: int = 20
+    learning_rate: float = 1e-4
+    encoder_lr_factor: float = 0.1            # encoder lr = lr * factor
+    scheduler_step_size: int = 15
+    scheduler_gamma: float = 0.5
+    height: int = 384
+    width: int = 512
+    depth_weight: float = 1.0
+    smoothness_weight: float = 0.001
+    checkpoint_dir: str = "./checkpoints"
+    checkpoint_every: int = 5
+    num_workers: int = 4
+    seed: int = 0
+    log_every: int = 10
+    resume: bool = False
+    data_parallel: bool = True
+
+
+def image_size_hw(cfg: TrainConfig) -> Tuple[int, int]:
+    return (cfg.height, cfg.width)

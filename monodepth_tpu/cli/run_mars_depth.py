@@ -130,7 +130,7 @@ def run_depth_estimation(estimator, image_paths, args):
         uncertainty_np = result.get("uncertainty")
 
         if args.multi_scale_fusion:
-            from monodepth_tpu.models.refinement_post import multi_scale_fusion_refine
+            from monodepth_tpu.models.refinement import multi_scale_fusion_refine
 
             depth_np = multi_scale_fusion_refine(depth_np, img)
 

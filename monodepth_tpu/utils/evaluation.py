@@ -1,0 +1,255 @@
+"""Depth / reconstruction evaluation (capability of reference utils/evaluation.py).
+
+`MarsTerrainEvaluator` computes:
+- standard depth metrics (abs_rel, sq_rel, rmse, rmse_log, δ<1.25^k)
+  (reference evaluation.py:69-78; formulas shared with layers.py:251-269)
+- Mars-specific metrics: TRP terrain-roughness preservation via block-reduced
+  local std (:82-86, 111-137), SFDR small-feature detection rate via Sobel
+  edge overlap at the 90th percentile (:89-93, 139-152), CDA crater-detection
+  stub = 0.0 (:96-100)
+- 3-D reconstruction metrics over point clouds: Chamfer (:190), Hausdorff
+  (:219), normal consistency (:250), volumetric similarity (:286) — scipy
+  cKDTree instead of Open3D loops
+- batch evaluation to metrics.json (:301-363)
+- no-reference proxy metrics (:424-471) plus the depth-histogram entropy and
+  RGB-vs-depth edge agreement scores whose API the reference implies but
+  never defines (`_calculate_entropy` / `_calculate_edge_preservation`,
+  called from benchmark_depth_models.py:172-180; SURVEY.md §2.4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+__all__ = ["MarsTerrainEvaluator"]
+
+
+def _sobel_edges(arr: np.ndarray) -> np.ndarray:
+    import cv2
+
+    arr = np.asarray(arr, dtype=np.float32)
+    gx = cv2.Sobel(arr, cv2.CV_32F, 1, 0, ksize=3)
+    gy = cv2.Sobel(arr, cv2.CV_32F, 0, 1, ksize=3)
+    return np.sqrt(gx**2 + gy**2)
+
+
+def _block_reduce_std(arr: np.ndarray, block: int = 8) -> np.ndarray:
+    """Per-block standard deviation (reference evaluation.py:118-137)."""
+    h, w = arr.shape
+    bh, bw = h // block, w // block
+    trimmed = arr[: bh * block, : bw * block]
+    blocks = trimmed.reshape(bh, block, bw, block)
+    return blocks.std(axis=(1, 3))
+
+
+class MarsTerrainEvaluator:
+    """Evaluation metrics for Mars depth estimation and 3-D reconstruction."""
+
+    def __init__(self, min_depth: float = 0.1, max_depth: float = 100.0):
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+
+    # ----------------------------------------------------------- depth
+    def evaluate_depth_prediction(
+        self, pred: np.ndarray, gt: np.ndarray, mask: Optional[np.ndarray] = None
+    ) -> Dict[str, float]:
+        """Standard + Mars-specific metrics (reference evaluation.py:30-116)."""
+        pred = np.squeeze(np.asarray(pred, dtype=np.float64))
+        gt = np.squeeze(np.asarray(gt, dtype=np.float64))
+        valid = np.isfinite(gt) & np.isfinite(pred) & (gt > self.min_depth) & (gt < self.max_depth)
+        if mask is not None:
+            valid &= mask.astype(bool)
+        if valid.sum() == 0:
+            return {k: float("nan") for k in
+                    ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3",
+                     "trp", "sfdr", "cda")}
+
+        p, g = pred[valid], gt[valid]
+        p = np.clip(p, 1e-6, None)
+        thresh = np.maximum(g / p, p / g)
+        metrics = {
+            "abs_rel": float(np.mean(np.abs(g - p) / g)),
+            "sq_rel": float(np.mean((g - p) ** 2 / g)),
+            "rmse": float(np.sqrt(np.mean((g - p) ** 2))),
+            "rmse_log": float(np.sqrt(np.mean((np.log(g) - np.log(p)) ** 2))),
+            "a1": float(np.mean(thresh < 1.25)),
+            "a2": float(np.mean(thresh < 1.25**2)),
+            "a3": float(np.mean(thresh < 1.25**3)),
+        }
+        metrics["trp"] = self.terrain_roughness_preservation(pred, gt)
+        metrics["sfdr"] = self.small_feature_detection_rate(pred, gt)
+        metrics["cda"] = self.crater_detection_accuracy(pred, gt)
+        return metrics
+
+    def terrain_roughness_preservation(self, pred, gt, block: int = 8) -> float:
+        """TRP: correlation of block-wise roughness (local std) maps
+        (reference evaluation.py:111-137)."""
+        rp = _block_reduce_std(np.squeeze(pred), block)
+        rg = _block_reduce_std(np.squeeze(gt), block)
+        if rp.std() < 1e-9 or rg.std() < 1e-9:
+            return 0.0
+        return float(np.corrcoef(rp.ravel(), rg.ravel())[0, 1])
+
+    def small_feature_detection_rate(self, pred, gt, percentile: float = 90.0) -> float:
+        """SFDR: overlap of strong Sobel edges (90th-percentile threshold)
+        (reference evaluation.py:139-152)."""
+        ep = _sobel_edges(np.squeeze(pred))
+        eg = _sobel_edges(np.squeeze(gt))
+        tg = eg > np.percentile(eg, percentile)
+        tp = ep > np.percentile(ep, percentile)
+        if tg.sum() == 0:
+            return 0.0
+        return float((tg & tp).sum() / tg.sum())
+
+    def crater_detection_accuracy(self, pred, gt) -> float:
+        """CDA stub — the reference returns 0.0 pending a crater detector
+        (evaluation.py:96-100)."""
+        return 0.0
+
+    # ------------------------------------------------------------- 3-D
+    def evaluate_3d_reconstruction(
+        self, pred_points: np.ndarray, gt_points: np.ndarray,
+        pred_normals: Optional[np.ndarray] = None,
+        gt_normals: Optional[np.ndarray] = None,
+        voxel_size: float = 0.1,
+    ) -> Dict[str, float]:
+        """Chamfer / Hausdorff / normal consistency / volumetric similarity
+        (reference evaluation.py:154-299), cKDTree-based."""
+        from scipy.spatial import cKDTree
+
+        p = np.asarray(pred_points, dtype=np.float64)
+        g = np.asarray(gt_points, dtype=np.float64)
+        if len(p) == 0 or len(g) == 0:
+            return {"chamfer": float("nan"), "hausdorff": float("nan"),
+                    "normal_consistency": float("nan"),
+                    "volumetric_similarity": float("nan")}
+
+        tree_g = cKDTree(g)
+        tree_p = cKDTree(p)
+        d_pg, idx_pg = tree_g.query(p)
+        d_gp, _ = tree_p.query(g)
+
+        metrics = {
+            "chamfer": float(d_pg.mean() + d_gp.mean()),
+            "hausdorff": float(max(d_pg.max(), d_gp.max())),
+        }
+
+        if pred_normals is not None and gt_normals is not None:
+            pn = np.asarray(pred_normals)
+            gn = np.asarray(gt_normals)[idx_pg]
+            cos = np.abs(np.sum(pn * gn, axis=1) /
+                         (np.linalg.norm(pn, axis=1) * np.linalg.norm(gn, axis=1) + 1e-9))
+            metrics["normal_consistency"] = float(cos.mean())
+        else:
+            metrics["normal_consistency"] = float("nan")
+
+        # Volumetric similarity: IoU of occupied voxel sets.
+        kp = {tuple(v) for v in np.floor(p / voxel_size).astype(np.int64)}
+        kg = {tuple(v) for v in np.floor(g / voxel_size).astype(np.int64)}
+        union = len(kp | kg)
+        metrics["volumetric_similarity"] = float(len(kp & kg) / union) if union else 0.0
+        return metrics
+
+    # ------------------------------------------------------------ batch
+    def evaluate_batch(self, pairs, output_dir: Optional[str] = None) -> Dict:
+        """Iterate (pred, gt) pairs -> aggregate metrics (+ metrics.json)
+        (reference evaluation.py:301-363)."""
+        all_metrics = []
+        for pred, gt in pairs:
+            all_metrics.append(self.evaluate_depth_prediction(pred, gt))
+        agg = {}
+        if all_metrics:
+            for k in all_metrics[0]:
+                vals = [m[k] for m in all_metrics if np.isfinite(m[k])]
+                agg[k] = float(np.mean(vals)) if vals else float("nan")
+        report = {"num_samples": len(all_metrics), "mean": agg, "per_sample": all_metrics}
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+                json.dump(report, f, indent=2)
+        return report
+
+    # ------------------------------------------------- no-reference proxy
+    def compute_proxy_metrics(self, depth: np.ndarray,
+                              image: Optional[np.ndarray] = None) -> Dict[str, float]:
+        """No-reference quality proxies (reference evaluation.py:424-471):
+        edge score, detail (roughness) score, noise (Laplacian) score,
+        histogram concentration; plus entropy and edge preservation."""
+        import cv2
+        import scipy.ndimage as ndi
+
+        depth = np.squeeze(np.asarray(depth, dtype=np.float32))
+        finite = np.isfinite(depth)
+        d = depth.copy()
+        if not finite.all():
+            d[~finite] = np.nanmedian(depth[finite]) if finite.any() else 0.0
+        rng_ = d.max() - d.min()
+        dn = (d - d.min()) / (rng_ + 1e-9)
+
+        edges = _sobel_edges(dn)
+        edge_score = float(edges.mean())
+
+        local_mean = ndi.uniform_filter(dn, size=5)
+        local_sq = ndi.uniform_filter(dn**2, size=5)
+        roughness = np.sqrt(np.maximum(local_sq - local_mean**2, 0))
+        detail_score = float(roughness.mean())
+
+        lap = cv2.Laplacian(dn, cv2.CV_32F)
+        noise_score = float(np.abs(lap).mean())
+
+        hist, _ = np.histogram(dn, bins=50, range=(0, 1))
+        hist = hist / max(hist.sum(), 1)
+        concentration = float(np.sort(hist)[-5:].sum())
+
+        metrics = {
+            "edge_score": edge_score,
+            "detail_score": detail_score,
+            "noise_score": noise_score,
+            "histogram_concentration": concentration,
+            "entropy": self._calculate_entropy(depth),
+            "quality_score": edge_score + detail_score - 2.0 * noise_score,
+        }
+        if image is not None:
+            metrics["edge_preservation"] = self._calculate_edge_preservation(depth, image)
+        return metrics
+
+    def _calculate_entropy(self, depth: np.ndarray, bins: int = 64) -> float:
+        """Shannon entropy of the depth histogram (API implied by reference
+        benchmark_depth_models.py:172)."""
+        depth = np.squeeze(np.asarray(depth, dtype=np.float64))
+        finite = depth[np.isfinite(depth)]
+        if finite.size == 0:
+            return 0.0
+        hist, _ = np.histogram(finite, bins=bins)
+        p = hist / max(hist.sum(), 1)
+        p = p[p > 0]
+        return float(-(p * np.log2(p)).sum())
+
+    def _calculate_edge_preservation(self, depth: np.ndarray,
+                                     image: np.ndarray) -> float:
+        """RGB-vs-depth edge agreement: fraction of strong image edges that
+        coincide with strong depth edges (API implied by reference
+        benchmark_depth_models.py:176)."""
+        import cv2
+
+        img = np.asarray(image)
+        if img.ndim == 3:
+            if img.dtype != np.uint8:
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+        else:
+            gray = img.astype(np.float32)
+        depth = np.squeeze(np.asarray(depth, dtype=np.float32))
+        if gray.shape != depth.shape:
+            gray = cv2.resize(gray, (depth.shape[1], depth.shape[0]))
+        ei = _sobel_edges(gray)
+        ed = _sobel_edges(depth)
+        ti = ei > np.percentile(ei, 90)
+        td = ed > np.percentile(ed, 90)
+        if ti.sum() == 0:
+            return 0.0
+        return float((ti & td).sum() / ti.sum())

@@ -1,0 +1,475 @@
+"""3-D terrain reconstruction: depth -> point cloud -> mesh -> stitching.
+
+Capability of the reference's two reconstruction stacks
+(utils/terrain_reconstruction_fixed.py and utils/terrain_reconstruction.py):
+
+- `TerrainReconstructor`: pinhole backprojection with default intrinsics
+  f = 0.7*max(h, w), principal point at center (fixed :39-47 / full :53-131);
+  colored point clouds; statistical outlier removal (nb=20, sigma=2.0) and
+  voxel downsampling (0.05) (full :158-184); normal estimation oriented to
+  the camera (:186-207); mesh reconstruction (Poisson via Open3D when
+  available, otherwise a regular-grid triangulation over the depth image);
+  mesh stitching by concatenation (:273-302); geospatial metadata (:304-344);
+  and the PLY/OBJ writers whose API the reference implies but never defines
+  (`save_point_cloud` / `save_mesh`, called from test_mars_depth.py:196-330).
+  The writers are from-scratch binary/ascii PLY + OBJ emitters — no Open3D
+  dependency.
+
+- `MarsTerrainMapper`: jitted depth inference + reconstruction driver.
+  Follows the *fixed* mapper's no-fallback philosophy (SURVEY.md §5:
+  fail explicitly rather than synthesizing gradient depth).
+
+Open3D is absent in this environment; all functionality below is
+self-contained (numpy/scipy), with Open3D used opportunistically if present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # pragma: no cover - optional
+    import open3d as o3d
+
+    OPEN3D_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    o3d = None
+    OPEN3D_AVAILABLE = False
+
+__all__ = ["TerrainReconstructor", "MarsTerrainMapper", "Mesh", "OPEN3D_AVAILABLE"]
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Simple indexed triangle mesh."""
+
+    vertices: np.ndarray            # [N, 3] float
+    triangles: np.ndarray           # [M, 3] int
+    colors: Optional[np.ndarray] = None   # [N, 3] float in [0, 1]
+    normals: Optional[np.ndarray] = None  # [N, 3] float
+
+    def __iadd__(self, other: "Mesh"):
+        """Concatenation stitching (reference terrain_reconstruction.py:273-302)."""
+        offset = len(self.vertices)
+        self.vertices = np.concatenate([self.vertices, other.vertices])
+        self.triangles = np.concatenate([self.triangles, other.triangles + offset])
+        if self.colors is not None and other.colors is not None:
+            self.colors = np.concatenate([self.colors, other.colors])
+        else:
+            self.colors = None
+        if self.normals is not None and other.normals is not None:
+            self.normals = np.concatenate([self.normals, other.normals])
+        else:
+            self.normals = None
+        return self
+
+
+class TerrainReconstructor:
+    """Depth-map -> point-cloud / mesh reconstruction for Mars terrain."""
+
+    def __init__(self, min_depth: float = 0.1, max_depth: float = 100.0,
+                 voxel_size: float = 0.05, poisson_depth: int = 9):
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.voxel_size = voxel_size
+        self.poisson_depth = poisson_depth
+        self.geospatial: Dict = {}
+
+    # --------------------------------------------------------- intrinsics
+    def default_intrinsics(self, height: int, width: int) -> np.ndarray:
+        """f = 0.7 * max(h, w), principal point at center
+        (reference terrain_reconstruction_fixed.py:39-47)."""
+        f = 0.7 * max(height, width)
+        K = np.array(
+            [[f, 0, width / 2.0], [0, f, height / 2.0], [0, 0, 1.0]], dtype=np.float64
+        )
+        return K
+
+    # -------------------------------------------------------- point cloud
+    def create_point_cloud(
+        self, depth: np.ndarray, intrinsics: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized pinhole backprojection with depth-range masking.
+
+        Returns (points [N, 3], valid_mask [H, W]); +z forward, y down.
+        (reference terrain_reconstruction_fixed.py:18-70)
+        """
+        depth = np.squeeze(np.asarray(depth, dtype=np.float64))
+        h, w = depth.shape
+        K = intrinsics if intrinsics is not None else self.default_intrinsics(h, w)
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+
+        mask = np.isfinite(depth) & (depth > self.min_depth) & (depth < self.max_depth)
+        ys, xs = np.nonzero(mask)
+        z = depth[ys, xs]
+        x = (xs - cx) * z / fx
+        y = (ys - cy) * z / fy
+        points = np.stack([x, y, z], axis=-1)
+        return points, mask
+
+    def reconstruct_terrain(
+        self, depth: np.ndarray, image: Optional[np.ndarray] = None,
+        intrinsics: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Point cloud + per-point RGB colors (fixed :72-110)."""
+        points, mask = self.create_point_cloud(depth, intrinsics)
+        colors = None
+        if image is not None:
+            img = np.asarray(image)
+            if img.ndim == 2:
+                img = np.stack([img] * 3, axis=-1)
+            colors = img[mask].astype(np.float64)
+        return points, colors
+
+    # ------------------------------------------------------------ filters
+    def filter_and_downsample(
+        self, points: np.ndarray, colors: Optional[np.ndarray] = None,
+        nb_neighbors: int = 20, std_ratio: float = 2.0,
+        voxel_size: Optional[float] = None,
+    ):
+        """Statistical outlier removal + voxel downsampling
+        (reference terrain_reconstruction.py:158-184), numpy/scipy version."""
+        from scipy.spatial import cKDTree
+
+        points = np.asarray(points, dtype=np.float64)
+        if len(points) == 0:
+            return points, colors
+        # Statistical outlier removal: drop points whose mean k-NN distance
+        # exceeds global mean + std_ratio * std.
+        k = min(nb_neighbors + 1, len(points))
+        tree = cKDTree(points)
+        dists, _ = tree.query(points, k=k)
+        mean_d = dists[:, 1:].mean(axis=1) if k > 1 else np.zeros(len(points))
+        keep = mean_d <= mean_d.mean() + std_ratio * mean_d.std()
+        points = points[keep]
+        if colors is not None:
+            colors = np.asarray(colors)[keep]
+
+        # Voxel downsampling: centroid per occupied voxel.
+        vs = voxel_size if voxel_size is not None else self.voxel_size
+        if vs and vs > 0 and len(points):
+            keys = np.floor(points / vs).astype(np.int64)
+            _, inverse, counts = np.unique(
+                keys, axis=0, return_inverse=True, return_counts=True
+            )
+            n_vox = counts.shape[0]
+            acc = np.zeros((n_vox, 3))
+            np.add.at(acc, inverse, points)
+            points_ds = acc / counts[:, None]
+            if colors is not None:
+                acc_c = np.zeros((n_vox, colors.shape[1]))
+                np.add.at(acc_c, inverse, colors)
+                colors = acc_c / counts[:, None]
+            points = points_ds
+        return points, colors
+
+    def estimate_normals(
+        self, points: np.ndarray, k: int = 30, camera_location=(0.0, 0.0, 0.0)
+    ) -> np.ndarray:
+        """PCA normals from k-NN neighborhoods, oriented toward the camera
+        (reference terrain_reconstruction.py:186-207)."""
+        from scipy.spatial import cKDTree
+
+        points = np.asarray(points, dtype=np.float64)
+        n = len(points)
+        if n < 3:
+            return np.tile([[0.0, 0.0, -1.0]], (n, 1))
+        k = min(k, n)
+        tree = cKDTree(points)
+        _, idx = tree.query(points, k=k)
+        neigh = points[idx]                       # [N, k, 3]
+        centered = neigh - neigh.mean(axis=1, keepdims=True)
+        cov = np.einsum("nki,nkj->nij", centered, centered) / k
+        _, vecs = np.linalg.eigh(cov)             # ascending eigenvalues
+        normals = vecs[:, :, 0]                   # smallest eigenvector
+        to_cam = np.asarray(camera_location) - points
+        flip = np.sum(normals * to_cam, axis=1) < 0
+        normals[flip] = -normals[flip]
+        return normals
+
+    # --------------------------------------------------------------- mesh
+    def grid_mesh_from_depth(
+        self, depth: np.ndarray, image: Optional[np.ndarray] = None,
+        intrinsics: Optional[np.ndarray] = None, step: int = 1,
+        depth_discontinuity: float = 0.1,
+    ) -> Mesh:
+        """Regular-grid triangulation of the depth image.
+
+        The Open3D-free meshing path: two triangles per valid grid cell,
+        dropping triangles that span depth discontinuities
+        (relative jump > depth_discontinuity).
+        """
+        depth = np.squeeze(np.asarray(depth, dtype=np.float64))[::step, ::step]
+        h, w = depth.shape
+        if intrinsics is not None:
+            # Provided intrinsics refer to the full-resolution image.
+            fx, fy = intrinsics[0, 0] / step, intrinsics[1, 1] / step
+            cx, cy = intrinsics[0, 2] / step, intrinsics[1, 2] / step
+        else:
+            K = self.default_intrinsics(h, w)
+            fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+        valid = np.isfinite(depth) & (depth > self.min_depth) & (depth < self.max_depth)
+        z = np.where(valid, depth, np.nan)
+        px = (xs - cx) * z / fx
+        py = (ys - cy) * z / fy
+        verts = np.stack([px, py, z], axis=-1).reshape(-1, 3)
+
+        vid = np.arange(h * w).reshape(h, w)
+        v00, v01 = vid[:-1, :-1], vid[:-1, 1:]
+        v10, v11 = vid[1:, :-1], vid[1:, 1:]
+        tris = np.concatenate(
+            [
+                np.stack([v00, v10, v01], axis=-1).reshape(-1, 3),
+                np.stack([v01, v10, v11], axis=-1).reshape(-1, 3),
+            ]
+        )
+        tri_z = verts[tris][:, :, 2]
+        finite = np.isfinite(tri_z).all(axis=1)
+        zmin = np.nanmin(tri_z, axis=1)
+        zmax = np.nanmax(tri_z, axis=1)
+        with np.errstate(invalid="ignore"):
+            smooth = (zmax - zmin) / np.maximum(zmin, 1e-9) <= depth_discontinuity
+        tris = tris[finite & smooth]
+
+        used = np.unique(tris)
+        remap = np.full(h * w, -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        mesh = Mesh(vertices=verts[used], triangles=remap[tris])
+        if image is not None:
+            img = np.asarray(image, dtype=np.float64)
+            if img.max() > 1:
+                img = img / 255.0
+            mesh.colors = img[::step, ::step].reshape(-1, img.shape[-1])[used][:, :3]
+        return mesh
+
+    def reconstruct_mesh(
+        self, points: np.ndarray, colors: Optional[np.ndarray] = None,
+        normals: Optional[np.ndarray] = None, method: str = "auto",
+    ):
+        """Poisson reconstruction when Open3D is present
+        (reference terrain_reconstruction.py:209-271); otherwise callers
+        should use `grid_mesh_from_depth` (structured depth meshing)."""
+        if OPEN3D_AVAILABLE and method in ("auto", "poisson"):  # pragma: no cover
+            pcd = o3d.geometry.PointCloud()
+            pcd.points = o3d.utility.Vector3dVector(points)
+            if colors is not None:
+                c = np.asarray(colors, dtype=np.float64)
+                if c.max() > 1:
+                    c = c / 255.0
+                pcd.colors = o3d.utility.Vector3dVector(c)
+            if normals is None:
+                pcd.estimate_normals()
+            else:
+                pcd.normals = o3d.utility.Vector3dVector(normals)
+            mesh_o3d, densities = o3d.geometry.TriangleMesh.create_from_point_cloud_poisson(
+                pcd, depth=self.poisson_depth
+            )
+            densities = np.asarray(densities)
+            keep = densities >= np.quantile(densities, 0.01)
+            mesh_o3d = mesh_o3d.select_by_index(np.nonzero(keep)[0])
+            mesh_o3d.remove_degenerate_triangles()
+            mesh_o3d.remove_duplicated_vertices()
+            mesh_o3d.remove_non_manifold_edges()
+            return Mesh(
+                vertices=np.asarray(mesh_o3d.vertices),
+                triangles=np.asarray(mesh_o3d.triangles),
+                colors=np.asarray(mesh_o3d.vertex_colors) if mesh_o3d.has_vertex_colors() else None,
+            )
+        raise RuntimeError(
+            "Poisson meshing requires Open3D; use grid_mesh_from_depth for the "
+            "self-contained structured meshing path."
+        )
+
+    @staticmethod
+    def stitch_meshes(meshes: Sequence[Mesh]) -> Mesh:
+        """Concatenate meshes (reference terrain_reconstruction.py:273-302)."""
+        assert len(meshes) > 0
+        out = Mesh(
+            vertices=meshes[0].vertices.copy(),
+            triangles=meshes[0].triangles.copy(),
+            colors=None if meshes[0].colors is None else meshes[0].colors.copy(),
+            normals=None if meshes[0].normals is None else meshes[0].normals.copy(),
+        )
+        for m in meshes[1:]:
+            out += m
+        return out
+
+    def add_geospatial_reference(self, metadata: Dict) -> Dict:
+        """Attach Mars lat/lon/alt metadata (reference :304-344)."""
+        geo = {
+            k: metadata[k]
+            for k in ("latitude", "longitude", "altitude", "heading")
+            if k in metadata
+        }
+        self.geospatial.update(geo)
+        return self.geospatial
+
+    # ---------------------------------------------------------------- io
+    @staticmethod
+    def save_point_cloud(points: np.ndarray, colors: Optional[np.ndarray],
+                         path: str, binary: bool = True):
+        """Write a PLY point cloud (API implied by reference
+        test_mars_depth.py:196; from-scratch writer, no Open3D)."""
+        points = np.asarray(points, dtype=np.float32)
+        n = len(points)
+        has_color = colors is not None
+        if has_color:
+            c = np.asarray(colors)
+            if c.dtype != np.uint8:
+                c = (np.clip(c, 0, 1 if c.max() <= 1 else 255)).astype(np.float64)
+                if c.max() <= 1:
+                    c = c * 255
+                c = c.astype(np.uint8)
+        header = ["ply",
+                  "format binary_little_endian 1.0" if binary else "format ascii 1.0",
+                  f"element vertex {n}",
+                  "property float x", "property float y", "property float z"]
+        if has_color:
+            header += ["property uchar red", "property uchar green", "property uchar blue"]
+        header += ["end_header"]
+        with open(path, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+            if binary:
+                if has_color:
+                    rec = np.zeros(n, dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+                    rec["xyz"] = points
+                    rec["rgb"] = c
+                    f.write(rec.tobytes())
+                else:
+                    f.write(points.astype("<f4").tobytes())
+            else:
+                for i in range(n):
+                    row = f"{points[i,0]} {points[i,1]} {points[i,2]}"
+                    if has_color:
+                        row += f" {c[i,0]} {c[i,1]} {c[i,2]}"
+                    f.write((row + "\n").encode())
+        return path
+
+    @staticmethod
+    def save_mesh(mesh: Mesh, path: str):
+        """Write a mesh as PLY or OBJ by extension (API implied by reference
+        test_mars_depth.py:203, 330)."""
+        ext = os.path.splitext(path)[1].lower()
+        v, t = mesh.vertices, mesh.triangles
+        if ext == ".obj":
+            with open(path, "w") as f:
+                for p in v:
+                    f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+                for tri in t:
+                    f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+            return path
+        # default: binary PLY with faces
+        has_color = mesh.colors is not None
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {len(v)}",
+                  "property float x", "property float y", "property float z"]
+        if has_color:
+            header += ["property uchar red", "property uchar green", "property uchar blue"]
+        header += [f"element face {len(t)}",
+                   "property list uchar int vertex_indices", "end_header"]
+        with open(path, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+            if has_color:
+                c = np.clip(mesh.colors, 0, 1)
+                c = (c * 255).astype(np.uint8)
+                rec = np.zeros(len(v), dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+                rec["xyz"] = v.astype(np.float32)
+                rec["rgb"] = c[:, :3]
+                f.write(rec.tobytes())
+            else:
+                f.write(v.astype("<f4").tobytes())
+            face = np.zeros(len(t), dtype=[("n", np.uint8), ("idx", "<i4", 3)])
+            face["n"] = 3
+            face["idx"] = t.astype(np.int32)
+            f.write(face.tobytes())
+        return path
+
+
+class MarsTerrainMapper:
+    """Depth inference + terrain reconstruction driver.
+
+    Mirrors the reference's fixed mapper (terrain_reconstruction_fixed.py:112-
+    300): `infer_depth` runs the jitted model and converts disparity with
+    `disp_to_depth` (the mapper path, unlike the CLI's raw reciprocal), then
+    resizes back; `process_image` produces points+colors; `process_batch`
+    loops a folder; `process_image_to_mesh` / `process_image_sequence` build
+    and stitch meshes.  No synthetic-depth fallbacks — errors propagate
+    (README promise honored; SURVEY.md §5).
+    """
+
+    def __init__(self, estimator=None, config=None,
+                 min_depth: float = 0.1, max_depth: float = 100.0):
+        if estimator is None:
+            from monodepth_tpu.inference import MarsDepthEstimator
+
+            estimator = MarsDepthEstimator(config)
+        self.estimator = estimator
+        self.min_depth = min_depth
+        self.max_depth = max_depth
+        self.reconstructor = TerrainReconstructor(min_depth, max_depth)
+
+    def infer_depth(self, image: np.ndarray, metadata=None) -> np.ndarray:
+        """Image [H, W, 3] -> depth [H, W] via disp_to_depth(min, max)."""
+        from monodepth_tpu.layers import disp_to_depth
+
+        result = self.estimator.predict(image, metadata)
+        disp = result["disp"]
+        if not np.isfinite(disp).all():
+            raise ValueError("model produced non-finite disparity")
+        _, depth = disp_to_depth(disp, self.min_depth, self.max_depth)
+        return np.asarray(depth)
+
+    def process_image(self, image: np.ndarray, metadata=None,
+                      intrinsics: Optional[np.ndarray] = None):
+        """-> (depth, points, colors) with outlier filtering."""
+        depth = self.infer_depth(image, metadata)
+        img_u8 = image
+        if np.asarray(image).dtype != np.uint8:
+            img_u8 = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
+        points, colors = self.reconstructor.reconstruct_terrain(depth, img_u8, intrinsics)
+        points, colors = self.reconstructor.filter_and_downsample(points, colors)
+        return depth, points, colors
+
+    def process_image_to_mesh(self, image: np.ndarray, metadata=None,
+                              intrinsics: Optional[np.ndarray] = None,
+                              step: int = 2) -> Mesh:
+        depth = self.infer_depth(image, metadata)
+        if metadata:
+            self.reconstructor.add_geospatial_reference(dict(metadata))
+        return self.reconstructor.grid_mesh_from_depth(
+            depth, image, intrinsics, step=step
+        )
+
+    def process_image_sequence(self, images: Sequence[np.ndarray],
+                               metadatas: Optional[Sequence] = None,
+                               step: int = 2) -> Mesh:
+        metadatas = metadatas or [None] * len(images)
+        meshes = [
+            self.process_image_to_mesh(im, md, step=step)
+            for im, md in zip(images, metadatas)
+        ]
+        return self.reconstructor.stitch_meshes(meshes)
+
+    def process_batch(self, image_paths: Sequence[str], output_dir: str,
+                      source: str = "auto", max_size: int = 1024):
+        """Folder driver: per-image PLY + depth .npy."""
+        from monodepth_tpu.inference import detect_source, load_image
+
+        os.makedirs(output_dir, exist_ok=True)
+        results = []
+        for path in image_paths:
+            img = load_image(path, max_size)
+            metadata = {"source": detect_source(path, source)}
+            depth, points, colors = self.process_image(img, metadata)
+            name = os.path.splitext(os.path.basename(path))[0]
+            np.save(os.path.join(output_dir, f"{name}_depth.npy"), depth)
+            ply = os.path.join(output_dir, f"{name}.ply")
+            self.reconstructor.save_point_cloud(points, colors, ply)
+            results.append({"path": path, "ply": ply, "points": len(points)})
+        return results

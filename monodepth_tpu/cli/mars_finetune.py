@@ -1,0 +1,135 @@
+"""Mars fine-tuning CLI (capability of reference mars_finetune.py — which is
+import-broken upstream, SURVEY.md §2.4; this one runs).
+
+Flags mirror the reference (mars_finetune.py:16-61): --data_dir --source_type
+--batch_size 8 --num_epochs 20 --learning_rate 1e-4 --scheduler_step_size 15
+--scheduler_gamma 0.5 --height 384 --width 512 --depth_weight 1.0
+--smoothness_weight 0.001 --save_dir.  If the data dir is missing, a
+synthetic Mars dataset is built from seed images (--seed_dir, default the
+reference asset corpus when mounted) with Mars-style augmentation
+(reference :64-158, `glob` bug fixed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from monodepth_tpu.config import ModelConfig, TrainConfig
+
+DEFAULT_SEED_DIR = "/root/reference/assets/rover"
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Mars depth fine-tuning (TPU)")
+    p.add_argument("--data_dir", type=str, default="./data/mars_dataset")
+    p.add_argument("--seed_dir", type=str, default=DEFAULT_SEED_DIR,
+                   help="Seed images for synthetic data when data_dir is missing")
+    p.add_argument("--source_type", type=str, default="rover")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scheduler_step_size", type=int, default=15)
+    p.add_argument("--scheduler_gamma", type=float, default=0.5)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--depth_weight", type=float, default=1.0)
+    p.add_argument("--smoothness_weight", type=float, default=0.001)
+    p.add_argument("--save_dir", type=str, default="./checkpoints")
+    p.add_argument("--checkpoint_every", type=int, default=5)
+    p.add_argument("--enhanced_model", action="store_true")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_variants", type=int, default=3,
+                   help="Synthetic variants per seed image")
+    p.add_argument("--max_seeds", type=int, default=None)
+    p.add_argument("--visualize_val", action="store_true",
+                   help="Save validation depth visualizations after training "
+                        "(reference mars_finetune.py:219-244)")
+    return p.parse_args(argv)
+
+
+def ensure_dataset(args) -> None:
+    train_dir = os.path.join(args.data_dir, args.source_type, "train")
+    if os.path.isdir(train_dir) and os.listdir(train_dir):
+        return
+    print(f"No dataset at {args.data_dir}; preparing synthetic Mars data "
+          f"from {args.seed_dir}...")
+    from monodepth_tpu.data.synthetic import prepare_synthetic_mars_data
+
+    n = prepare_synthetic_mars_data(
+        args.seed_dir, args.data_dir, source=args.source_type,
+        num_variants=args.num_variants, size=(args.height, args.width),
+        seed=args.seed, max_seeds=args.max_seeds,
+    )
+    print(f"Wrote {n} synthetic images under {args.data_dir}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    ensure_dataset(args)
+
+    cfg = TrainConfig(
+        model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype),
+        data_dir=args.data_dir,
+        source_type=args.source_type,
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        scheduler_step_size=args.scheduler_step_size,
+        scheduler_gamma=args.scheduler_gamma,
+        height=args.height,
+        width=args.width,
+        depth_weight=args.depth_weight,
+        smoothness_weight=args.smoothness_weight,
+        checkpoint_dir=args.save_dir,
+        checkpoint_every=args.checkpoint_every,
+        seed=args.seed,
+        resume=args.resume,
+    )
+
+    from monodepth_tpu.train.adapter import MarsDomainAdapter
+
+    adapter = MarsDomainAdapter(cfg)
+    adapter.finetune(args.num_epochs)
+    adapter.save_model()
+
+    if args.visualize_val:
+        visualize_validation(adapter, args)
+    return 0
+
+
+def visualize_validation(adapter, args, num_batches: int = 5):
+    """Save depth predictions for a few validation batches
+    (reference mars_finetune.py:219-244)."""
+    import numpy as np
+
+    from monodepth_tpu.utils.visualization import MarsTerrainVisualizer
+
+    viz = MarsTerrainVisualizer()
+    out_dir = os.path.join(args.save_dir, "val_viz")
+    os.makedirs(out_dir, exist_ok=True)
+    import jax.numpy as jnp
+
+    for i, batch in enumerate(adapter.val_loader):
+        if i >= num_batches:
+            break
+        images, scales = adapter._prep_batch(batch)
+        outputs = adapter.model.apply(
+            {"params": adapter.params, "batch_stats": adapter.batch_stats},
+            images, scales,
+        )
+        disp = np.asarray(outputs[("disp", 0)][0, ..., 0])
+        img = np.asarray(images[0])
+        img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+        viz.visualize_depth_map(
+            img, 1.0 / np.clip(disp, 1e-6, None),
+            save_path=os.path.join(out_dir, f"val_{i}.png"),
+        )
+    print(f"Validation visualizations saved to {out_dir}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,237 @@
+"""Mars terrain image dataset + batched loader (capability of reference
+data/mars_dataset.py).
+
+- `MarsImageDataset` walks `{data_path}/{rover,satellite}/{split}`
+  (reference mars_dataset.py:44-70), resizes to (H, W), scales to [0, 1] and
+  applies ImageNet normalization (:75-79); training adds color jitter and
+  random horizontal flips (:83-86).  Corrupt images are re-sampled randomly
+  (:98-103).  Items are {'image' [H, W, 3] float32 NHWC, 'metadata':
+  {source, path, altitude}}.
+- `organize_dataset` shuffles and splits raw folders 80-10-10 (:124-199).
+- `get_mars_dataloaders` returns train/val/test loaders (:201-236).  The
+  loader is a thread-prefetched numpy batcher (the JAX-idiomatic replacement
+  for torch DataLoader workers) yielding device-ready NHWC batches.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import shutil
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = [
+    "MarsImageDataset",
+    "NumpyLoader",
+    "get_mars_dataloaders",
+    "organize_dataset",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+_EXTS = (".png", ".jpg", ".jpeg")
+
+
+class MarsImageDataset:
+    """Source-typed Mars image dataset with train-time augmentation."""
+
+    def __init__(
+        self,
+        data_path: str,
+        split: str = "train",
+        height: int = 384,
+        width: int = 512,
+        sources: Tuple[str, ...] = ("rover", "satellite"),
+        is_train: Optional[bool] = None,
+        normalize: bool = True,
+        seed: int = 0,
+    ):
+        self.data_path = data_path
+        self.split = split
+        self.height = height
+        self.width = width
+        self.is_train = (split == "train") if is_train is None else is_train
+        self.normalize = normalize
+        self._rng = np.random.default_rng(seed)
+
+        self.samples: List[Dict] = []
+        for source in sources:
+            split_dir = os.path.join(data_path, source, split)
+            if not os.path.isdir(split_dir):
+                continue
+            for name in sorted(os.listdir(split_dir)):
+                if name.lower().endswith(_EXTS):
+                    self.samples.append(
+                        {
+                            "path": os.path.join(split_dir, name),
+                            "source": source,
+                            # default altitudes mirror scripts/test_mars_depth.py:123-136
+                            "altitude": 400000.0 if source == "satellite" else 0.0,
+                        }
+                    )
+
+    def __len__(self):
+        return len(self.samples)
+
+    # ----------------------------------------------------------- loading
+    def _load(self, index: int) -> np.ndarray:
+        path = self.samples[index]["path"]
+        img = Image.open(path).convert("RGB")
+        img = img.resize((self.width, self.height), Image.BILINEAR)
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    def _augment(self, img: np.ndarray) -> np.ndarray:
+        """Color jitter (brightness/contrast/saturation ±0.2) + horizontal flip
+        (reference mars_dataset.py:83-86)."""
+        r = self._rng
+        img = img * (1 + (r.random() - 0.5) * 0.4)                      # brightness
+        mean = img.mean()
+        img = (img - mean) * (1 + (r.random() - 0.5) * 0.4) + mean      # contrast
+        gray = img.mean(axis=-1, keepdims=True)
+        img = gray + (img - gray) * (1 + (r.random() - 0.5) * 0.4)      # saturation
+        img = np.clip(img, 0.0, 1.0)
+        if r.random() < 0.5:
+            img = img[:, ::-1, :]
+        return np.ascontiguousarray(img)
+
+    def __getitem__(self, index: int) -> Dict:
+        for _ in range(10):
+            try:
+                img = self._load(index)
+                break
+            except Exception:
+                # corrupt image -> random resample (reference :98-103)
+                index = int(self._rng.integers(len(self.samples)))
+        else:
+            raise RuntimeError("too many corrupt images in dataset")
+
+        if self.is_train:
+            img = self._augment(img)
+        if self.normalize:
+            img = (img - IMAGENET_MEAN) / IMAGENET_STD
+
+        meta = self.samples[index]
+        return {
+            "image": img.astype(np.float32),
+            "metadata": {
+                "source": meta["source"],
+                "path": meta["path"],
+                "altitude": meta["altitude"],
+            },
+        }
+
+
+class NumpyLoader:
+    """Thread-prefetched numpy batch loader (drop_last on train).
+
+    Yields {'image': [B, H, W, 3] float32, 'metadata': list of dicts}.
+    """
+
+    def __init__(self, dataset: MarsImageDataset, batch_size: int,
+                 shuffle: bool, drop_last: bool, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self._seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            items = [self.dataset[int(i)] for i in idx]
+            yield {
+                "image": np.stack([it["image"] for it in items]),
+                "metadata": [it["metadata"] for it in items],
+            }
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def organize_dataset(raw_dir: str, out_dir: str,
+                     sources: Tuple[str, ...] = ("rover", "satellite"),
+                     splits=(0.8, 0.1, 0.1), seed: int = 42):
+    """Shuffle/split raw per-source folders into train/val/test
+    (reference mars_dataset.py:124-199)."""
+    rng = random.Random(seed)
+    counts = {}
+    for source in sources:
+        src_dir = os.path.join(raw_dir, source)
+        if not os.path.isdir(src_dir):
+            continue
+        files = [f for f in sorted(os.listdir(src_dir))
+                 if f.lower().endswith(_EXTS)]
+        rng.shuffle(files)
+        n = len(files)
+        n_train = int(n * splits[0])
+        n_val = int(n * splits[1])
+        buckets = {
+            "train": files[:n_train],
+            "val": files[n_train:n_train + n_val],
+            "test": files[n_train + n_val:],
+        }
+        for split, names in buckets.items():
+            dst = os.path.join(out_dir, source, split)
+            os.makedirs(dst, exist_ok=True)
+            for name in names:
+                shutil.copy2(os.path.join(src_dir, name), os.path.join(dst, name))
+            counts[(source, split)] = len(names)
+    return counts
+
+
+def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
+                         width: int = 512, sources=("rover", "satellite"),
+                         prefetch: int = 2, seed: int = 0):
+    """Train/val/test loaders (reference mars_dataset.py:201-236)."""
+    loaders = {}
+    for split in ("train", "val", "test"):
+        ds = MarsImageDataset(data_path, split, height, width, sources, seed=seed)
+        loaders[split] = NumpyLoader(
+            ds, batch_size,
+            shuffle=(split == "train"),
+            drop_last=(split == "train"),
+            prefetch=prefetch,
+            seed=seed,
+        )
+    return loaders["train"], loaders["val"], loaders["test"]

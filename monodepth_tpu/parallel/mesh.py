@@ -1,0 +1,100 @@
+"""Mesh construction and parameter/batch sharding rules.
+
+Design (scaling-book recipe): pick a mesh, annotate shardings, let XLA insert
+collectives.
+
+- Mesh axes: ('data', 'model').  Batch dims shard over 'data'; the ViT's
+  attention qkv/out projections and MLP hidden dim shard over 'model'
+  (Megatron TP: column-parallel then row-parallel, so each block needs one
+  all-reduce per projection pair, riding ICI).
+- Everything else (convs, norms, small decoder) is replicated — the decoder
+  is tiny; TP would only add latency.
+- Pipeline/expert parallelism: not applicable at this model scale
+  (SURVEY.md §2.3); sequence parallelism is a kernel-level concern
+  (blockwise attention) rather than a cross-chip one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "param_partition_spec", "shard_params", "shard_batch"]
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Create a ('data', 'model') mesh over the given (or all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# Param-path suffixes sharded over the model axis.  Kernel layouts are flax
+# Dense [in, out]:
+#   qkv kernel [768, 3*768]   -> shard out  (column-parallel)
+#   out_proj   [768, 768]     -> shard in   (row-parallel)
+#   mlp fc1    [768, 3072]    -> shard out  (column-parallel)
+#   mlp fc2    [3072, 768]    -> shard in   (row-parallel)
+_COLUMN_PARALLEL = ("qkv/kernel", "mlp/fc1/kernel")
+_ROW_PARALLEL = ("out_proj/kernel", "mlp/fc2/kernel")
+_COLUMN_BIAS = ("qkv/bias", "mlp/fc1/bias")
+
+
+def param_partition_spec(path: Tuple[str, ...], value) -> P:
+    """PartitionSpec for one parameter by its tree path."""
+    joined = "/".join(path)
+    if "vit" in joined:
+        for suffix in _COLUMN_PARALLEL:
+            if joined.endswith(suffix):
+                return P(None, "model")
+        for suffix in _ROW_PARALLEL:
+            if joined.endswith(suffix):
+                return P("model", None)
+        for suffix in _COLUMN_BIAS:
+            if joined.endswith(suffix):
+                return P("model")
+    return P()
+
+
+def _path_strings(path) -> Tuple[str, ...]:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "idx"):
+            out.append(str(p.idx))
+        else:
+            out.append(str(p))
+    return tuple(out)
+
+
+def shard_params(variables, mesh: Mesh):
+    """Place a variables pytree onto the mesh per `param_partition_spec`."""
+
+    def place(path, x):
+        spec = param_partition_spec(_path_strings(path), x)
+        # Replicate anything whose sharded dim isn't divisible.
+        try:
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        except ValueError:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, variables)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard leading batch dims over the 'data' axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,289 @@
+"""Mars domain adaptation / fine-tuning driver.
+
+Capability of reference `MarsDomainAdapter` (train/mars_adapter.py:18-277),
+rebuilt TPU-first:
+
+- optax Adam with a 10x lower encoder learning rate via parameter labels
+  (reference :49-55) and a StepLR-equivalent staircase schedule (:58-62)
+- one fully jitted, donate-argnums train step updating params, optimizer
+  state and BatchNorm batch_stats together; loss per train/losses.py
+- validation with metrics vs the reference's simulated ground truth
+  depth * (0.9 + 0.2 * U) (:180-198)
+- Orbax checkpoints every N epochs + final, with resume (:112-113 upgraded
+  to full train-state checkpointing)
+- data-parallel batch sharding over a ('data', 'model') mesh; the mesh is
+  optional — single-device runs use the same code path with a 1x1 mesh
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze, unfreeze
+
+from monodepth_tpu.config import TrainConfig
+from monodepth_tpu.layers import compute_depth_errors, disp_to_depth
+from monodepth_tpu.models import DepthAnything, EnhancedDepthAnything, disp_scale_factor
+from monodepth_tpu.train.losses import compute_losses
+
+__all__ = ["MarsDomainAdapter", "make_optimizer", "make_train_step"]
+
+
+def make_lr_schedule(base_lr: float, steps_per_epoch: int,
+                     step_size_epochs: int, gamma: float):
+    """StepLR equivalent: lr * gamma^(epoch // step_size) as a step schedule."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return base_lr * (gamma ** (epoch // step_size_epochs))
+
+    return schedule
+
+
+def _label_params(params) -> Dict:
+    """'encoder' vs 'rest' labels (reference gives the encoder lr/10, :49-55)."""
+    return {
+        k: jax.tree_util.tree_map(lambda _: "encoder" if k == "encoder" else "rest", v)
+        for k, v in params.items()
+    }
+
+
+def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
+    enc_schedule = make_lr_schedule(
+        cfg.learning_rate * cfg.encoder_lr_factor, steps_per_epoch,
+        cfg.scheduler_step_size, cfg.scheduler_gamma,
+    )
+    rest_schedule = make_lr_schedule(
+        cfg.learning_rate, steps_per_epoch,
+        cfg.scheduler_step_size, cfg.scheduler_gamma,
+    )
+    tx = optax.multi_transform(
+        {"encoder": optax.adam(enc_schedule), "rest": optax.adam(rest_schedule)},
+        _label_params(params),
+    )
+    return tx
+
+
+def make_train_step(model, tx, cfg: TrainConfig):
+    """Build the jitted train step: (params, batch_stats, opt_state, images,
+    scales, rng) -> (new trees, losses)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, images, scales, rng):
+        def loss_fn(p):
+            outputs, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images, scales, train=True, mutable=["batch_stats"],
+            )
+            losses = compute_losses(
+                images, outputs, rng,
+                depth_weight=cfg.depth_weight,
+                smoothness_weight=cfg.smoothness_weight,
+                min_depth=cfg.model.min_depth,
+                max_depth=cfg.model.max_depth,
+            )
+            return losses["total"], (mutated["batch_stats"], losses)
+
+        grads, (new_stats, losses) = jax.grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, losses
+
+    return train_step
+
+
+def make_eval_step(model, cfg: TrainConfig):
+    @jax.jit
+    def eval_step(params, batch_stats, images, scales, rng):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, scales
+        )
+        losses = compute_losses(
+            images, outputs, rng,
+            depth_weight=cfg.depth_weight,
+            smoothness_weight=cfg.smoothness_weight,
+        )
+        disp = outputs[("disp", 0)]
+        _, depth = disp_to_depth(disp, cfg.model.min_depth, cfg.model.max_depth)
+        # simulated GT, as in the reference validation (:190)
+        fake_gt = depth * (0.9 + 0.2 * jax.random.uniform(rng, depth.shape))
+        errs = compute_depth_errors(fake_gt, depth)
+        return losses, errs
+
+    return eval_step
+
+
+class MarsDomainAdapter:
+    """Fine-tuning driver over the Mars dataset."""
+
+    METRIC_NAMES = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
+
+    def __init__(self, cfg: TrainConfig, train_loader=None, val_loader=None,
+                 mesh=None):
+        self.cfg = cfg
+        model_cls = EnhancedDepthAnything if cfg.model.enhanced else DepthAnything
+        dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+        self.model = model_cls(dtype=dtype, attn_impl=cfg.model.attn_impl)
+
+        if train_loader is None or val_loader is None:
+            from monodepth_tpu.data.dataset import get_mars_dataloaders
+
+            tr, va, _ = get_mars_dataloaders(
+                cfg.data_dir, cfg.batch_size, cfg.height, cfg.width,
+                prefetch=cfg.num_workers // 2, seed=cfg.seed,
+            )
+            train_loader = train_loader or tr
+            val_loader = val_loader or va
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+
+        # Init model variables.
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = jnp.zeros((1, cfg.height, cfg.width, 3), jnp.float32)
+        variables = self.model.init(rng, dummy, train=False)
+        self.params = unfreeze(variables["params"]) if hasattr(variables["params"], "unfreeze") else dict(variables["params"])
+        self.batch_stats = dict(variables["batch_stats"])
+
+        if cfg.model.pretrained:
+            from monodepth_tpu.models.weights import maybe_load_pretrained_vit
+
+            vit = maybe_load_pretrained_vit()
+            if vit is not None:
+                self.params["encoder"] = dict(self.params["encoder"])
+                self.params["encoder"]["vit"] = vit
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.tx = make_optimizer(self.params, cfg, steps_per_epoch)
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+        self.epoch = 0
+
+        self.mesh = mesh
+        if mesh is not None:
+            from monodepth_tpu.parallel.mesh import shard_params
+
+            placed = shard_params(
+                {"params": self.params, "batch_stats": self.batch_stats}, mesh
+            )
+            self.params = placed["params"]
+            self.batch_stats = placed["batch_stats"]
+
+        self._train_step = make_train_step(self.model, self.tx, cfg)
+        self._eval_step = make_eval_step(self.model, cfg)
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        self._ckpt_mgr = None
+        if cfg.checkpoint_dir:
+            from monodepth_tpu.train.checkpoints import CheckpointManager
+
+            self._ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
+            if cfg.resume:
+                self._try_resume()
+
+    # ------------------------------------------------------------- state
+    def _state_dict(self):
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "epoch": self.epoch,
+        }
+
+    def _try_resume(self):
+        restored = self._ckpt_mgr.restore(template=self._state_dict())
+        if restored is not None:
+            self.params = restored["params"]
+            self.batch_stats = restored["batch_stats"]
+            self.opt_state = restored["opt_state"]
+            self.step = int(restored["step"])
+            self.epoch = int(restored["epoch"])
+            print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}")
+
+    def save_model(self, step: Optional[int] = None):
+        if self._ckpt_mgr is not None:
+            self._ckpt_mgr.save(step if step is not None else self.step,
+                                self._state_dict())
+
+    # ----------------------------------------------------------- batches
+    def _prep_batch(self, batch):
+        images = jnp.asarray(batch["image"])
+        scales = jnp.asarray(
+            [disp_scale_factor(m) for m in batch["metadata"]], jnp.float32
+        )
+        if self.mesh is not None:
+            from monodepth_tpu.parallel.mesh import shard_batch
+
+            images, scales = shard_batch((images, scales), self.mesh)
+        return images, scales
+
+    # ------------------------------------------------------------ epochs
+    def train_one_epoch(self) -> Dict[str, float]:
+        totals = {"total": 0.0, "depth": 0.0, "smoothness": 0.0}
+        n = 0
+        for batch in self.train_loader:
+            images, scales = self._prep_batch(batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.params, self.batch_stats, self.opt_state, losses = self._train_step(
+                self.params, self.batch_stats, self.opt_state, images, scales, step_rng
+            )
+            self.step += 1
+            n += 1
+            for k in totals:
+                totals[k] += float(losses[k])
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
+    def validate(self):
+        totals = {"total": 0.0, "depth": 0.0, "smoothness": 0.0}
+        metrics = {k: 0.0 for k in self.METRIC_NAMES}
+        n = 0
+        for batch in self.val_loader:
+            images, scales = self._prep_batch(batch)
+            self._rng, step_rng = jax.random.split(self._rng)
+            losses, errs = self._eval_step(
+                self.params, self.batch_stats, images, scales, step_rng
+            )
+            n += 1
+            for k in totals:
+                totals[k] += float(losses[k])
+            for name, val in zip(self.METRIC_NAMES, errs):
+                metrics[name] += float(val)
+        totals = {k: v / max(n, 1) for k, v in totals.items()}
+        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+        return totals, metrics
+
+    def finetune(self, num_epochs: Optional[int] = None) -> Dict:
+        num_epochs = num_epochs or self.cfg.num_epochs
+        print("Starting Mars domain adaptation...")
+        print(f"  Model: {'Enhanced ' if self.cfg.model.enhanced else ''}Depth Anything")
+        print(f"  Devices: {jax.device_count()}  Epochs: {num_epochs}")
+        print(f"  LR: {self.cfg.learning_rate} (encoder x{self.cfg.encoder_lr_factor})")
+        print(f"  Batch size: {self.cfg.batch_size}")
+
+        history = []
+        start_epoch = self.epoch
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            train_losses = self.train_one_epoch()
+            val_losses, val_metrics = self.validate()
+            self.epoch = epoch + 1
+
+            print(f"Epoch {epoch + 1}/{num_epochs}")
+            print(f"  Train loss: {train_losses['total']:.4f}")
+            print(f"  Val loss: {val_losses['total']:.4f}")
+            for k, v in val_metrics.items():
+                print(f"    {k}: {v:.4f}")
+            print(f"  Time: {time.time() - t0:.2f}s")
+            history.append({"train": train_losses, "val": val_losses,
+                            "metrics": val_metrics})
+
+            if (epoch + 1) % self.cfg.checkpoint_every == 0 or epoch == num_epochs - 1:
+                self.save_model(epoch + 1)
+        print("Mars domain adaptation completed!")
+        return {"history": history}

@@ -1,0 +1,116 @@
+"""Training stack tests: losses, optimizer schedule, train step, adapter loop,
+checkpoint/resume — on tiny shapes, CPU."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from monodepth_tpu.config import ModelConfig, TrainConfig
+from monodepth_tpu.train.losses import compute_losses
+from monodepth_tpu.train.adapter import MarsDomainAdapter, make_lr_schedule
+
+
+def _tiny_cfg(tmp_path, **kw):
+    kw.setdefault("data_dir", str(tmp_path / "data"))
+    return TrainConfig(
+        model=ModelConfig(pretrained=False),
+        batch_size=2,
+        num_epochs=1,
+        height=32,
+        width=48,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=1,
+        num_workers=0,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_data")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 2)):
+        d = root / "rover" / split
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = (rng.random((40, 56, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.png")
+    return str(root)
+
+
+def test_compute_losses_structure(rng):
+    images = jnp.asarray(rng.random((2, 16, 16, 3), dtype=np.float32))
+    outputs = {("disp", 0): jnp.asarray(rng.random((2, 16, 16, 1), dtype=np.float32))}
+    losses = compute_losses(images, outputs, jax.random.PRNGKey(0))
+    assert set(losses) == {"total", "depth", "smoothness"}
+    total = float(losses["total"])
+    assert np.isfinite(total) and total >= 0
+    np.testing.assert_allclose(
+        total, float(losses["depth"]) + float(losses["smoothness"]), rtol=1e-6
+    )
+
+
+def test_depth_loss_scale():
+    # With disp == const c, target = c * jitter, |disp - target| = c*|1-jitter|
+    # E[|1-jitter|] = E[|0.1 - 0.2 U|]... just check bounded by 0.1 * c.
+    disp = jnp.full((1, 8, 8, 1), 0.5)
+    images = jnp.zeros((1, 8, 8, 3))
+    losses = compute_losses(images, {("disp", 0): disp}, jax.random.PRNGKey(1))
+    assert float(losses["smoothness"]) == 0.0
+    assert 0.0 < float(losses["depth"]) <= 0.05 + 1e-6
+
+
+def test_lr_schedule_staircase():
+    sched = make_lr_schedule(1e-4, steps_per_epoch=10, step_size_epochs=15, gamma=0.5)
+    assert sched(0) == 1e-4
+    assert sched(10 * 14) == 1e-4          # epoch 14
+    assert sched(10 * 15) == 5e-5          # epoch 15
+    assert sched(10 * 30) == 2.5e-5        # epoch 30
+
+
+def test_adapter_trains_and_checkpoints(tiny_data, tmp_path):
+    cfg = _tiny_cfg(tmp_path, data_dir=tiny_data)
+    adapter = MarsDomainAdapter(cfg)
+    p0 = np.asarray(
+        jax.tree_util.tree_leaves(adapter.params)[0]
+    ).copy()
+    result = adapter.finetune(1)
+    assert len(result["history"]) == 1
+    h = result["history"][0]
+    assert np.isfinite(h["train"]["total"])
+    assert np.isfinite(h["val"]["total"])
+    assert set(h["metrics"]) == set(MarsDomainAdapter.METRIC_NAMES)
+    p1 = np.asarray(jax.tree_util.tree_leaves(adapter.params)[0])
+    assert not np.allclose(p0, p1), "parameters did not update"
+    assert adapter._ckpt_mgr.latest_step() == 1
+
+
+def test_adapter_resume(tiny_data, tmp_path):
+    cfg = _tiny_cfg(tmp_path, data_dir=tiny_data)
+    adapter = MarsDomainAdapter(cfg)
+    adapter.finetune(1)
+    step = adapter.step
+    del adapter
+
+    cfg2 = _tiny_cfg(tmp_path, data_dir=tiny_data, resume=True)
+    adapter2 = MarsDomainAdapter(cfg2)
+    assert adapter2.step == step
+    assert adapter2.epoch == 1
+
+
+def test_encoder_lr_is_lower(tiny_data, tmp_path):
+    """The encoder param group must move ~10x less than the decoder group
+    for comparable gradients (reference mars_adapter.py:49-55)."""
+    cfg = _tiny_cfg(tmp_path, data_dir=tiny_data)
+    adapter = MarsDomainAdapter(cfg)
+    import optax
+
+    # inspect the multi_transform labels
+    from monodepth_tpu.train.adapter import _label_params
+
+    labels = _label_params(adapter.params)
+    assert set(jax.tree_util.tree_leaves(labels["encoder"])) == {"encoder"}
+    assert set(jax.tree_util.tree_leaves(labels["decoder"])) == {"rest"}

@@ -87,6 +87,11 @@ class DepthAnything(nn.Module):
     native_patching: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    # Perf knob: when set, only these ("disp", s) keys are resized to input
+    # size and returned (the CLI consumes only scale 0; skipping the other
+    # three full-resolution resizes saves most of the output bandwidth).
+    # None preserves the reference's full output contract.
+    output_scales: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
@@ -113,6 +118,8 @@ class DepthAnything(nn.Module):
 
         resized = {}
         for key, v in outputs.items():
+            if self.output_scales is not None and key[1] not in self.output_scales:
+                continue
             if key[0] == "disp" and v.shape[1:3] != original_size:
                 v = resize_bilinear(v, original_size, align_corners=False)
             resized[key] = v

@@ -64,6 +64,23 @@ def _nearest_indices(in_size: int, out_size: int):
     return np.clip(src, 0, in_size - 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_resize_matrix(in_size: int, out_size: int, align_corners: bool):
+    """Dense [out, in] resampling matrix (two taps per row).
+
+    On TPU a gather-based resize wastes HBM bandwidth (sparse access); as a
+    dense matmul the same resampling runs on the MXU at near-peak throughput.
+    Numerically identical to the two-tap formulation up to fp32 summation
+    order.
+    """
+    lo, hi, w_hi = _linear_index_weights(in_size, out_size, align_corners)
+    W = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(W, (rows, lo), 1.0 - w_hi)
+    np.add.at(W, (rows, hi), w_hi)
+    return W
+
+
 def _axis_for(x: jnp.ndarray):
     """Return (h_axis, w_axis) for NHWC / HWC / HW arrays."""
     if x.ndim == 4:
@@ -75,9 +92,16 @@ def _axis_for(x: jnp.ndarray):
     raise ValueError(f"resize expects 2-4D array, got shape {x.shape}")
 
 
-def _resize_axis_linear(x, in_size, out_size, axis, align_corners):
+def _resize_axis_linear(x, in_size, out_size, axis, align_corners, method):
     if in_size == out_size:
         return x
+    if method == "matmul":
+        W = jnp.asarray(_linear_resize_matrix(in_size, out_size, align_corners))
+        # Contract the resized axis against W's `in` dim; MXU-friendly.
+        out = jnp.tensordot(x, W, axes=[[axis], [1]])
+        # tensordot appends the contraction output axis last; move it back.
+        out = jnp.moveaxis(out, -1, axis)
+        return out.astype(x.dtype)
     lo, hi, w_hi = _linear_index_weights(in_size, out_size, align_corners)
     shape = [1] * x.ndim
     shape[axis] = out_size
@@ -87,17 +111,28 @@ def _resize_axis_linear(x, in_size, out_size, axis, align_corners):
     return x_lo * (1 - w) + x_hi * w
 
 
-def resize_bilinear(x, size, align_corners: bool = False):
+def resize_bilinear(x, size, align_corners: bool = False, method: str = "matmul"):
     """Resize spatial dims to `size=(H, W)` with PyTorch bilinear semantics.
 
     Matches `torch.nn.functional.interpolate(mode='bilinear', align_corners=...)`
-    exactly (no anti-aliasing), for NHWC / HWC / HW inputs.
+    exactly (no anti-aliasing; fp32-level rounding), for NHWC / HWC / HW inputs.
+
+    method: 'matmul' (default; runs the separable resampling as two dense
+    matmuls on the MXU — the TPU-fast path) or 'gather' (two-tap gather,
+    used for very large axes where the [out, in] matrix would be wasteful).
     """
     h_axis, w_axis = _axis_for(x)
     out_h, out_w = int(size[0]), int(size[1])
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
-    x = _resize_axis_linear(x, in_h, out_h, h_axis, align_corners)
-    x = _resize_axis_linear(x, in_w, out_w, w_axis, align_corners)
+
+    def pick(in_s, out_s):
+        # Dense resampling matrices beyond ~16M entries fall back to gather.
+        if method == "matmul" and in_s * out_s <= (1 << 24):
+            return "matmul"
+        return "gather"
+
+    x = _resize_axis_linear(x, in_h, out_h, h_axis, align_corners, pick(in_h, out_h))
+    x = _resize_axis_linear(x, in_w, out_w, w_axis, align_corners, pick(in_w, out_w))
     return x
 
 

@@ -35,9 +35,13 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla"):
     impl: 'xla' (jnp reference) or 'pallas' (fused TPU kernel).
     """
     if impl == "pallas":
+        import jax
+
         from monodepth_tpu.ops.pallas.attention import fused_mha
 
-        return fused_mha(q, k, v, num_heads=num_heads)
+        # interpret mode on CPU so the pallas path is testable everywhere
+        return fused_mha(q, k, v, num_heads=num_heads,
+                         interpret=jax.default_backend() == "cpu")
     return _mha_xla(q, k, v, num_heads)
 
 
@@ -60,9 +64,12 @@ def spatial_self_attention(query, key, value, x, gamma, *, impl: str = "xla"):
     k2 = key.reshape(b, n, cq)
     v2 = value.reshape(b, n, c)
     if impl == "pallas":
+        import jax
+
         from monodepth_tpu.ops.pallas.attention import fused_spatial_attention
 
-        out = fused_spatial_attention(q2, k2, v2)
+        out = fused_spatial_attention(q2, k2, v2,
+                                      interpret=jax.default_backend() == "cpu")
     else:
         # energy[b, i, j] = <q_i, k_j>; softmax over j (reference :28-29).
         energy = jnp.einsum("bic,bjc->bij", q2, k2, preferred_element_type=jnp.float32)

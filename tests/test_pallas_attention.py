@@ -1,0 +1,82 @@
+"""Pallas kernel validation in interpret mode vs jnp references
+(SURVEY.md §4 item 5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monodepth_tpu.ops.attention import _mha_xla, spatial_self_attention
+from monodepth_tpu.ops.pallas.attention import fused_mha, fused_spatial_attention
+
+
+@pytest.mark.parametrize("s", [197, 128, 260])
+def test_fused_mha_matches_xla(rng, s):
+    b, dim, heads = 2, 768, 12
+    q = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    want = np.asarray(_mha_xla(q, k, v, heads))
+    got = np.asarray(fused_mha(q, k, v, num_heads=heads, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_padding_mask_correct(rng):
+    """Padding tokens must not leak into attention (s=197 -> pad 256)."""
+    b, dim, heads = 1, 64, 4
+    s = 130  # forces padding to 256
+    q = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    want = np.asarray(_mha_xla(q, k, v, heads))
+    got = np.asarray(fused_mha(q, k, v, num_heads=heads, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_spatial_attention_matches_xla(rng):
+    b, h, w, c = 2, 14, 15, 256
+    cq = c // 8
+    q = jnp.asarray(rng.standard_normal((b, h, w, cq), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, w, cq), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((b, h, w, c), dtype=np.float32))
+    gamma = jnp.float32(0.7)
+
+    want = np.asarray(spatial_self_attention(q, k, v, x, gamma, impl="xla"))
+    n = h * w
+    got_attn = fused_spatial_attention(
+        q.reshape(b, n, cq), k.reshape(b, n, cq), v.reshape(b, n, c),
+        interpret=True,
+    ).reshape(b, h, w, c)
+    got = np.asarray(gamma * got_attn + x)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_mha_bf16(rng):
+    b, s, dim, heads = 1, 197, 768, 12
+    q = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32)).astype(jnp.bfloat16)
+    want = np.asarray(_mha_xla(q, k, v, heads)).astype(np.float32)
+    got = np.asarray(fused_mha(q, k, v, num_heads=heads, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.06, rtol=0.05)
+
+
+def test_full_model_with_pallas_attention(rng):
+    """Standard + enhanced models produce identical outputs with the Pallas
+    attention path (interpret mode) vs the XLA path."""
+    from monodepth_tpu.models import DepthAnything, EnhancedDepthAnything
+
+    x = jnp.asarray(rng.random((1, 64, 80, 3), dtype=np.float32))
+    for cls in (DepthAnything, EnhancedDepthAnything):
+        m_xla = cls(attn_impl="xla")
+        m_pls = cls(attn_impl="pallas")
+        variables = m_xla.init(jax.random.PRNGKey(0), x)
+        want = m_xla.apply(variables, x, 1.0)
+        got = m_pls.apply(variables, x, 1.0)
+        for key in want:
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(want[key]),
+                atol=3e-5, rtol=1e-4, err_msg=f"{cls.__name__} {key}",
+            )

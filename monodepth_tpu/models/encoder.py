@@ -114,10 +114,12 @@ class DepthAnythingEncoder(nn.Module):
         )
 
         if self.native_patching:
-            # Performance mode: run the ViT at native (padded) resolution with
-            # bilinearly interpolated position embeddings; clean CLS-stripped
-            # (H/16, W/16) grids.  Not the parity path.
-            taps = _apply_vit_native(vit, x)
+            # Performance mode: run the ViT at native (padded) resolution —
+            # the position embedding is resampled inside VisionTransformer —
+            # producing clean CLS-stripped (H/16, W/16) grids.  At 1024px
+            # this is 4096 tokens; use attn_impl='pallas' for the fused
+            # blockwise attention.  Not the parity path (SURVEY.md §3.6).
+            taps = vit(x)
             grid_h, grid_w = h // 16, w // 16
             strip_cls, pad = True, 0
         else:
@@ -152,14 +154,3 @@ class DepthAnythingEncoder(nn.Module):
         return features
 
 
-def _apply_vit_native(vit: VisionTransformer, x):
-    """Run the ViT at native resolution by interpolating position embeddings.
-
-    Uses nn.apply-style module surgery: we re-declare an inner ViT whose
-    image_size matches x, sharing parameters, with the (1, 197, C) position
-    embedding resampled to the native token grid.
-    """
-    raise NotImplementedError(
-        "native_patching is wired in a later milestone (Pallas blockwise "
-        "attention at 4096 tokens); use the parity path for now."
-    )

@@ -90,12 +90,18 @@ class VisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, _ = x.shape
-        assert h == self.image_size and w == self.image_size, (
-            f"ViT expects {self.image_size}x{self.image_size} input, got {h}x{w}"
+        assert h % self.patch_size == 0 and w % self.patch_size == 0, (
+            f"ViT input must be /{self.patch_size}, got {h}x{w}"
         )
         n_h = h // self.patch_size
         n_w = w // self.patch_size
-        seq_len = n_h * n_w + 1
+        # The position-embedding parameter is always the pretrained grid's
+        # (14x14 + CLS for ViT-B/16 @ 224) so converted torchvision weights
+        # load directly; other grids (native-resolution mode) bilinearly
+        # resample it at apply time — the standard ViT pos-embed
+        # interpolation recipe.
+        base_grid = self.image_size // self.patch_size
+        seq_len = base_grid * base_grid + 1
 
         # Patch embedding: 16x16 conv, stride 16 (NHWC, HWIO kernel).
         x = nn.Conv(
@@ -125,6 +131,17 @@ class VisionTransformer(nn.Module):
             (1, seq_len, self.hidden_dim),
             jnp.float32,
         )
+        if (n_h, n_w) != (base_grid, base_grid):
+            from monodepth_tpu.ops.resize import resize_bilinear
+
+            cls_pos = pos_embedding[:, :1, :]
+            grid_pos = pos_embedding[:, 1:, :].reshape(
+                1, base_grid, base_grid, self.hidden_dim
+            )
+            grid_pos = resize_bilinear(grid_pos, (n_h, n_w), align_corners=False)
+            pos_embedding = jnp.concatenate(
+                [cls_pos, grid_pos.reshape(1, n_h * n_w, self.hidden_dim)], axis=1
+            )
         x = x + pos_embedding.astype(x.dtype)
 
         taps = []

@@ -85,8 +85,13 @@ class MarsImageDataset:
     def _load(self, index: int) -> np.ndarray:
         path = self.samples[index]["path"]
         img = Image.open(path).convert("RGB")
-        img = img.resize((self.width, self.height), Image.BILINEAR)
-        return np.asarray(img, dtype=np.float32) / 255.0
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.shape[:2] != (self.height, self.width):
+            from monodepth_tpu import native
+
+            # C++ fast path when built; numpy fallback otherwise.
+            arr = native.resize_bilinear_u8(arr, self.height, self.width)
+        return arr.astype(np.float32) / 255.0
 
     def _augment(self, img: np.ndarray) -> np.ndarray:
         """Color jitter (brightness/contrast/saturation ±0.2) + horizontal flip

@@ -317,6 +317,15 @@ class TerrainReconstructor:
         """Write a PLY point cloud (API implied by reference
         test_mars_depth.py:196; from-scratch writer, no Open3D)."""
         points = np.asarray(points, dtype=np.float32)
+        if binary:
+            # Prefer the C++ writer when built (native/monodepth_native.cpp).
+            from monodepth_tpu import native as _native
+
+            if _native.available():
+                c = None
+                if colors is not None:
+                    c = np.asarray(colors)
+                return _native.write_ply(path, points, c)
         n = len(points)
         has_color = colors is not None
         if has_color:

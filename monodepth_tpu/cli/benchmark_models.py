@@ -1,0 +1,166 @@
+"""Multi-model comparison harness (capability of reference
+scripts/benchmark_models.py — import-broken upstream; its *shape* is the
+spec, SURVEY.md §2 item 19: a registry of depth backends compared on the
+same corpus with pandas CSV results and summary plots).
+
+Backends here: our standard and enhanced models (with optional Mars
+weights), plus gated externals (monodepth2 / MiDaS / DPT via torch.hub)
+that report as unavailable in zero-egress environments instead of crashing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from monodepth_tpu.config import ModelConfig
+from monodepth_tpu.inference import MarsDepthEstimator, detect_source, load_image
+from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator
+
+
+def _our_backend(enhanced: bool, weights: Optional[str] = None) -> Callable:
+    est = MarsDepthEstimator(ModelConfig(enhanced=enhanced))
+    est.convert_to_mars_domain(weights)
+
+    def run(img, metadata):
+        return est.predict(img, metadata)["depth"]
+
+    return run
+
+
+def _torchhub_backend(repo: str, model_name: str) -> Callable:  # pragma: no cover
+    """External baselines need torch.hub downloads — gated on availability."""
+    import torch
+
+    model = torch.hub.load(repo, model_name)  # raises in zero-egress envs
+    model.eval()
+
+    def run(img, metadata):
+        with torch.no_grad():
+            t = torch.from_numpy(np.asarray(img, np.float32)).permute(2, 0, 1)[None]
+            out = model(t)
+            if isinstance(out, dict):
+                out = next(iter(out.values()))
+            return np.squeeze(out.numpy())
+
+    return run
+
+
+BACKEND_FACTORIES = {
+    "depth_anything": lambda args: _our_backend(False, args.weights),
+    "depth_anything_enhanced": lambda args: _our_backend(True, args.weights),
+    "midas": lambda args: _torchhub_backend("intel-isl/MiDaS", "MiDaS_small"),
+    "dpt": lambda args: _torchhub_backend("intel-isl/MiDaS", "DPT_Hybrid"),
+}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Multi-model depth benchmark")
+    p.add_argument("--input", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./model_benchmark")
+    p.add_argument("--models", type=str,
+                   default="depth_anything,depth_anything_enhanced")
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--max_size", type=int, default=512)
+    p.add_argument("--max_images", type=int, default=5)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from monodepth_tpu.cli.run_mars_depth import collect_image_paths
+
+    paths = collect_image_paths(args.input)[: args.max_images]
+    if not paths:
+        print(f"No images at {args.input}")
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    backends: Dict[str, Callable] = {}
+    for name in args.models.split(","):
+        name = name.strip()
+        if name not in BACKEND_FACTORIES:
+            print(f"Unknown model '{name}' — skipping")
+            continue
+        try:
+            backends[name] = BACKEND_FACTORIES[name](args)
+        except Exception as e:
+            print(f"Backend '{name}' unavailable ({type(e).__name__}: {e}) — skipping")
+    if not backends:
+        print("No usable backends")
+        return 1
+
+    evaluator = MarsTerrainEvaluator()
+    rows = []
+    images, depth_lists = [], {n: [] for n in backends}
+    for path in paths:
+        img = load_image(path, args.max_size)
+        metadata = {"source": detect_source(path, "auto")}
+        images.append(img)
+        for name, run in backends.items():
+            try:
+                run(img, metadata)  # warm-up
+                t0 = time.perf_counter()
+                depth = run(img, metadata)
+                elapsed = time.perf_counter() - t0
+            except Exception as e:  # pragma: no cover
+                print(f"{name} failed on {path}: {e}")
+                continue
+            proxy = evaluator.compute_proxy_metrics(depth, img)
+            depth_lists[name].append(depth)
+            rows.append({
+                "image": os.path.basename(path),
+                "model": name,
+                "time_s": elapsed,
+                "fps": 1.0 / elapsed,
+                **{k: proxy[k] for k in ("edge_score", "detail_score",
+                                          "noise_score", "entropy",
+                                          "quality_score")},
+            })
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    csv_path = os.path.join(args.output_dir, "benchmark_results.csv")
+    df.to_csv(csv_path, index=False)
+
+    summary = df.groupby("model").mean(numeric_only=True)
+    summary.to_csv(os.path.join(args.output_dir, "benchmark_summary.csv"))
+    _plots(summary, args.output_dir)
+
+    from monodepth_tpu.utils.visualization import MarsTerrainVisualizer
+
+    usable = [n for n in backends if depth_lists[n]]
+    if usable and images:
+        MarsTerrainVisualizer().create_depth_comparison_grid(
+            images, [depth_lists[n] for n in usable], usable,
+            save_path=os.path.join(args.output_dir, "comparison_grid.png"),
+        )
+    print(f"Results: {csv_path}")
+    print(summary)
+    return 0
+
+
+def _plots(summary, output_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    for metric in ("time_s", "fps", "quality_score", "entropy", "edge_score"):
+        if metric not in summary.columns:
+            continue
+        fig, ax = plt.subplots(figsize=(6, 4))
+        summary[metric].plot.bar(ax=ax, color="#b5542e")
+        ax.set_title(metric)
+        fig.tight_layout()
+        fig.savefig(os.path.join(output_dir, f"summary_{metric}.png"))
+        plt.close(fig)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -106,6 +106,19 @@ class MarsDepthEstimator:
                 variables["params"]["encoder"]["vit"] = vit
         return variables
 
+    def convert_to_mars_domain(self, weights: Optional[str] = None):
+        """Load Mars fine-tuned weights in place (API the reference implies
+        but never defines — called from its monodepth.py:61-64 and
+        test_mars_depth.py:82-85; SURVEY.md §2.4).
+
+        weights: path to a reference .pth state dict or an Orbax checkpoint
+        dir.  None is a no-op (keeps current weights), matching the implied
+        optional-weights contract.
+        """
+        if weights:
+            self.variables = self._load_checkpoint(self.variables, weights)
+        return self
+
     def _load_checkpoint(self, variables, path: str):
         if os.path.isdir(path):
             from monodepth_tpu.train.checkpoints import restore_params

@@ -266,6 +266,11 @@ class MarsDomainAdapter:
         print(f"  LR: {self.cfg.learning_rate} (encoder x{self.cfg.encoder_lr_factor})")
         print(f"  Batch size: {self.cfg.batch_size}")
 
+        from monodepth_tpu.utils.logging import MetricsLogger
+
+        logger = MetricsLogger(
+            self.cfg.checkpoint_dir and f"{self.cfg.checkpoint_dir}/logs"
+        )
         history = []
         start_epoch = self.epoch
         for epoch in range(start_epoch, num_epochs):
@@ -273,6 +278,9 @@ class MarsDomainAdapter:
             train_losses = self.train_one_epoch()
             val_losses, val_metrics = self.validate()
             self.epoch = epoch + 1
+            logger.log(epoch + 1, train_losses, prefix="train")
+            logger.log(epoch + 1, val_losses, prefix="val")
+            logger.log(epoch + 1, val_metrics, prefix="metrics")
 
             print(f"Epoch {epoch + 1}/{num_epochs}")
             print(f"  Train loss: {train_losses['total']:.4f}")
@@ -285,5 +293,6 @@ class MarsDomainAdapter:
 
             if (epoch + 1) % self.cfg.checkpoint_every == 0 or epoch == num_epochs - 1:
                 self.save_model(epoch + 1)
+        logger.close()
         print("Mars domain adaptation completed!")
         return {"history": history}

@@ -103,6 +103,43 @@ def save_standard_visualization(img, disp, depth, source_type, result_dir, image
     return path
 
 
+def _infer_stream(estimator, image_paths, args):
+    """Yield (path, image, result, elapsed_s) — batched when batch_size > 1.
+
+    Batched mode groups images by identical post-load shape (aspect ratios
+    differ across the corpus; a jit program per shape bucket) and runs
+    `predict_batch` per chunk.  The per-image elapsed time is the batch time
+    divided by its size.
+    """
+    if args.batch_size <= 1:
+        for path in image_paths:
+            img = load_image(path, max_size=args.max_size)
+            metadata = {"source": detect_source(path, args.source)}
+            t0 = time.time()
+            result = estimator.predict(img, metadata)
+            yield path, img, result, time.time() - t0
+        return
+
+    loaded = []
+    for path in image_paths:
+        img = load_image(path, max_size=args.max_size)
+        loaded.append((path, img))
+    buckets = {}
+    for path, img in loaded:
+        buckets.setdefault(img.shape, []).append((path, img))
+    for shape, items in buckets.items():
+        for start in range(0, len(items), args.batch_size):
+            chunk = items[start:start + args.batch_size]
+            images = np.stack([im for _, im in chunk])
+            metadatas = [{"source": detect_source(p, args.source)} for p, _ in chunk]
+            t0 = time.time()
+            out = estimator.predict_batch(images, metadatas)
+            elapsed = (time.time() - t0) / len(chunk)
+            for i, (path, img) in enumerate(chunk):
+                result = {k: v[i] for k, v in out.items() if k != "outputs"}
+                yield path, img, result, elapsed
+
+
 def run_depth_estimation(estimator, image_paths, args):
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -113,18 +150,12 @@ def run_depth_estimation(estimator, image_paths, args):
         visualizer = AdvancedMarsVisualizer(min_depth=0.1, max_depth=100.0)
 
     bench_times = []
-    for image_path in image_paths:
+    for image_path, img, result, elapsed in _infer_stream(estimator, image_paths, args):
         print(f"Processing {image_path}...")
-        img = load_image(image_path, max_size=args.max_size)
         source_type = detect_source(image_path, args.source)
-        metadata = {"source": source_type}
-
-        start = time.time()
-        result = estimator.predict(img, metadata)
         if args.benchmark:
-            inference_time = time.time() - start
-            bench_times.append(inference_time)
-            print(f"Inference time: {inference_time:.3f} seconds")
+            bench_times.append(elapsed)
+            print(f"Inference time: {elapsed:.3f} seconds")
 
         disp_np, depth_np = result["disp"], result["depth"]
         uncertainty_np = result.get("uncertainty")

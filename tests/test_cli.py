@@ -62,3 +62,22 @@ def test_source_detection():
     assert detect_source("/a/orbital_img.png") == "satellite"
     assert detect_source("/a/unknown.png") == "rover"
     assert detect_source("/a/unknown.png", "satellite") == "satellite"
+
+
+def test_run_mars_depth_batched(image_dir, tmp_path):
+    """--batch_size > 1 groups same-shape images and still writes per-image outputs."""
+    from monodepth_tpu.cli.run_mars_depth import main
+
+    out = tmp_path / "out_batched"
+    rc = main([
+        "--input", str(image_dir),
+        "--output_dir", str(out),
+        "--max_size", "48",
+        "--batch_size", "2",
+    ])
+    assert rc == 0
+    a = np.load(out / "rover_test" / "rover_test_depth.npy")
+    b = np.load(out / "satellite_view" / "satellite_view_depth.npy")
+    assert a.shape == b.shape and np.isfinite(a).all() and np.isfinite(b).all()
+    # satellite scaling (0.01) must differ from rover scaling (1.0)
+    assert not np.allclose(a, b)

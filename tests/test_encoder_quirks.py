@@ -1,0 +1,76 @@
+"""Encoder token-grid quirk unit tests (SURVEY.md §3.6) and checkpoint
+loading through the inference engine."""
+
+import numpy as np
+import pytest
+import torch
+
+from monodepth_tpu.models.encoder import token_grid_shape
+
+
+def test_grid_224_strips_cls():
+    # 224x224 -> 14x14 grid, CLS stripped (encoder.py:83-85)
+    assert token_grid_shape(197, 14, 14) == (14, 14, True, 0)
+
+
+def test_grid_other_sizes_keep_cls_and_pad():
+    # any other size: 14x15 grid with CLS kept + 13 zero tokens (SURVEY §3.6)
+    for fh, fw in [(24, 32), (64, 64), (6, 8), (14, 15)]:
+        gh, gw, strip, pad = token_grid_shape(197, fh, fw)
+        assert (gh, gw) == (14, 15)
+        assert strip is False
+        assert pad == 13
+
+
+def test_grid_exact_match_no_cls():
+    assert token_grid_shape(196, 14, 14) == (14, 14, False, 0)
+
+
+def test_estimator_loads_reference_pth(tmp_path, rng):
+    """torch.save'd reference-format state dict loads via ModelConfig.checkpoint
+    and reproduces the oracle's outputs."""
+    from tests import torch_oracle as oracle
+
+    gen = torch.Generator().manual_seed(21)
+    sd = oracle.make_model_state_dict(gen)
+    path = str(tmp_path / "ref_model.pth")
+    torch.save(sd, path)
+
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    est = MarsDepthEstimator(ModelConfig(checkpoint=path, pretrained=False))
+    img = rng.random((64, 80, 3), dtype=np.float32)
+    result = est.predict(img, {"source": "satellite"})
+
+    x = torch.from_numpy(img).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        want = oracle.model_forward(sd, x, disp_scale=0.01)
+    want_disp = want[("disp", 0)][0, 0].numpy()
+    np.testing.assert_allclose(result["disp"], want_disp, atol=1e-4, rtol=1e-3)
+    # CLI depth contract: raw reciprocal
+    np.testing.assert_allclose(
+        result["depth"], 1.0 / np.clip(want_disp, 1e-6, None), rtol=1e-3
+    )
+
+
+def test_estimator_convert_to_mars_domain(tmp_path, rng):
+    from tests import torch_oracle as oracle
+
+    gen = torch.Generator().manual_seed(22)
+    sd = oracle.make_model_state_dict(gen)
+    path = str(tmp_path / "mars.pth")
+    torch.save(sd, path)
+
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    est = MarsDepthEstimator(ModelConfig(pretrained=False))
+    img = rng.random((48, 48, 3), dtype=np.float32)
+    before = est.predict(img)["disp"]
+    est.convert_to_mars_domain(path)
+    after = est.predict(img)["disp"]
+    assert not np.allclose(before, after)
+    # None is a no-op
+    est.convert_to_mars_domain(None)
+    np.testing.assert_array_equal(est.predict(img)["disp"], after)

@@ -465,6 +465,52 @@ class MarsTerrainMapper:
         ]
         return self.reconstructor.stitch_meshes(meshes)
 
+    def process_image_with_visualization(self, image: np.ndarray, save_path: str,
+                                         metadata=None, max_points: int = 10000):
+        """4-panel figure: input | disparity | depth | 3-D scatter with a
+        10k-point downsample (reference terrain_reconstruction_fixed.py:226-266)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        result = self.estimator.predict(image, metadata)
+        from monodepth_tpu.layers import disp_to_depth as _d2d
+
+        disp = result["disp"]
+        _, depth = _d2d(disp, self.min_depth, self.max_depth)
+        depth = np.asarray(depth)
+        points, colors = self.reconstructor.reconstruct_terrain(
+            depth, (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
+        )
+        if len(points) > max_points:
+            idx = np.random.default_rng(0).choice(len(points), max_points, replace=False)
+            points, colors = points[idx], colors[idx] if colors is not None else None
+
+        fig = plt.figure(figsize=(20, 5))
+        ax = fig.add_subplot(1, 4, 1)
+        ax.imshow(np.asarray(image))
+        ax.set_title("Input")
+        ax.axis("off")
+        ax = fig.add_subplot(1, 4, 2)
+        im = ax.imshow(disp, cmap="magma")
+        ax.set_title("Disparity")
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, shrink=0.7)
+        ax = fig.add_subplot(1, 4, 3)
+        im = ax.imshow(depth, cmap="viridis")
+        ax.set_title("Depth")
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, shrink=0.7)
+        ax = fig.add_subplot(1, 4, 4, projection="3d")
+        kwargs = {"c": colors / 255.0} if colors is not None else {}
+        ax.scatter(points[:, 0], points[:, 1], -points[:, 2], s=1, **kwargs)
+        ax.set_title("3D Terrain")
+        fig.tight_layout()
+        fig.savefig(save_path)
+        plt.close(fig)
+        return depth, save_path
+
     def process_batch(self, image_paths: Sequence[str], output_dir: str,
                       source: str = "auto", max_size: int = 1024):
         """Folder driver: per-image PLY + depth .npy."""

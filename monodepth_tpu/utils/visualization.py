@@ -167,6 +167,29 @@ class MarsTerrainVisualizer:
         plt.close(fig)
         return save_path
 
+    def visualize_mesh(self, mesh, save_path: Optional[str] = None,
+                       show: bool = False, max_triangles: int = 20000):
+        """Triangle-mesh render (reference visualization.py:360-381 uses
+        Open3D; this portable path draws a matplotlib trisurf)."""
+        import numpy as _np
+
+        v = _np.asarray(mesh.vertices)
+        t = _np.asarray(mesh.triangles)
+        if len(t) > max_triangles:
+            idx = np.random.default_rng(0).choice(len(t), max_triangles, replace=False)
+            t = t[idx]
+        fig = plt.figure(figsize=(10, 8))
+        ax = fig.add_subplot(111, projection="3d")
+        ax.plot_trisurf(v[:, 0], v[:, 1], -v[:, 2], triangles=t,
+                        cmap=self.elevation_cmap, linewidth=0, antialiased=False)
+        ax.set_title("Mars Terrain Mesh")
+        if save_path:
+            fig.savefig(save_path)
+        if show:  # pragma: no cover
+            plt.show()
+        plt.close(fig)
+        return save_path
+
     # ------------------------------------------------------------- videos
     def create_depth_video(
         self, images: Sequence, depths: Sequence, save_path: str, fps: int = 10

@@ -86,6 +86,7 @@ class DepthAnythingEncoder(nn.Module):
     native_patching: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     @property
     def num_ch_enc(self):
@@ -110,6 +111,7 @@ class DepthAnythingEncoder(nn.Module):
             tap_indices=tuple(self.tap_indices),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="vit",
         )
 

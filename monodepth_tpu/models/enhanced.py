@@ -141,6 +141,7 @@ class EnhancedDepthAnything(nn.Module):
     native_patching: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
@@ -151,6 +152,7 @@ class EnhancedDepthAnything(nn.Module):
             native_patching=self.native_patching,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="encoder",
         )(x, train=train)
 

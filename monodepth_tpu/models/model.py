@@ -87,6 +87,7 @@ class DepthAnything(nn.Module):
     native_patching: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False
     # Perf knob: when set, only these ("disp", s) keys are resized to input
     # size and returned (the CLI consumes only scale 0; skipping the other
     # three full-resolution resizes saves most of the output bandwidth).
@@ -102,6 +103,7 @@ class DepthAnything(nn.Module):
             native_patching=self.native_patching,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            remat=self.remat,
             name="encoder",
         )(x, train=train)
 

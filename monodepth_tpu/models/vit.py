@@ -86,6 +86,11 @@ class VisionTransformer(nn.Module):
     tap_indices: Sequence[int] = (2, 5, 8, 11)
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    # Rematerialize each transformer block on the backward pass — trades
+    # ~30% extra forward FLOPs for O(1) activation memory per block, the
+    # standard jax.checkpoint recipe for fitting larger fine-tuning batches
+    # in HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -147,8 +152,9 @@ class VisionTransformer(nn.Module):
         taps = []
         tap_set = set(self.tap_indices)
         max_tap = max(tap_set)
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(self.num_layers):
-            x = EncoderBlock(
+            x = block_cls(
                 num_heads=self.num_heads,
                 mlp_dim=self.mlp_dim,
                 dtype=self.dtype,

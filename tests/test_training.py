@@ -114,3 +114,27 @@ def test_encoder_lr_is_lower(tiny_data, tmp_path):
     labels = _label_params(adapter.params)
     assert set(jax.tree_util.tree_leaves(labels["encoder"])) == {"encoder"}
     assert set(jax.tree_util.tree_leaves(labels["decoder"])) == {"rest"}
+
+
+def test_remat_model_forward_and_grad(rng, tmp_path):
+    """remat=True produces identical outputs and allows gradients."""
+    import jax.numpy as jnp
+    from monodepth_tpu.models import DepthAnything
+
+    x = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+    plain = DepthAnything(remat=False)
+    remat = DepthAnything(remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    out_p = plain.apply(variables, x, 1.0)[("disp", 0)]
+    out_r = remat.apply(variables, x, 1.0)[("disp", 0)]
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p), atol=1e-6)
+
+    def loss(params):
+        out = remat.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, x, 1.0
+        )
+        return jnp.mean(out[("disp", 0)])
+
+    g = jax.grad(loss)(variables["params"])
+    leaf = np.asarray(jax.tree_util.tree_leaves(g)[0])
+    assert np.isfinite(leaf).all()

@@ -54,7 +54,7 @@ def main() -> int:
 
     # Warm-up: compile + settle any lazy recompiles; force completion each time.
     for i in range(3):
-        out, probe = fwd(vars_ := variables, xs[i % 3], jnp.full((batch,), 1.0 + 1e-3 * i))
+        out, probe = fwd(variables, xs[i % 3], jnp.full((batch,), 1.0 + 1e-3 * i))
         np.asarray(probe)
 
     t0 = time.perf_counter()

@@ -45,6 +45,7 @@ def main(argv=None):
         print("No input images found")
         return 1
 
+    # inputs validated; now pay model construction cost
     estimator = MarsDepthEstimator(ModelConfig(enhanced=args.enhanced_model))
     estimator.convert_to_mars_domain(args.weights)
 

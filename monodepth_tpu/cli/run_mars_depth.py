@@ -234,15 +234,7 @@ def main(argv=None):
 
     print(f"Using device: {jax.devices()[0]}")
 
-    config = ModelConfig(
-        enhanced=args.enhanced_model,
-        checkpoint=args.checkpoint,
-        dtype=args.dtype,
-    )
-    print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
-          + " Depth Anything model...")
-    estimator = MarsDepthEstimator(config)
-
+    # Validate inputs before paying model construction / compile cost.
     if args.input is None:
         print("No input specified. Please provide an image or directory.")
         return 1
@@ -251,6 +243,15 @@ def main(argv=None):
         print(f"No images found at {args.input}")
         return 1
     print(f"Found {len(image_paths)} images to process.")
+
+    config = ModelConfig(
+        enhanced=args.enhanced_model,
+        checkpoint=args.checkpoint,
+        dtype=args.dtype,
+    )
+    print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
+          + " Depth Anything model...")
+    estimator = MarsDepthEstimator(config)
     run_depth_estimation(estimator, image_paths, args)
     return 0
 

@@ -234,7 +234,12 @@ class AdvancedMarsVisualizer:
                 }],
             }],
         }
-        path = save_path if save_path.endswith(".html") else save_path + "_flyover.html"
+        if save_path.endswith(".html"):
+            path = save_path
+        elif save_path.endswith("_flyover"):
+            path = save_path + ".html"
+        else:
+            path = save_path + "_flyover.html"
         return _write_plotly_html(
             path, {"data": [surface], "layout": layout, "frames": frames},
             "Mars Terrain Flyover",

@@ -129,7 +129,13 @@ class MarsDomainAdapter:
         self.cfg = cfg
         model_cls = EnhancedDepthAnything if cfg.model.enhanced else DepthAnything
         dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
-        self.model = model_cls(dtype=dtype, attn_impl=cfg.model.attn_impl)
+        attn_impl = cfg.model.attn_impl
+        if attn_impl == "auto":
+            attn_impl = "pallas" if cfg.model.native_patching else "xla"
+        self.model = model_cls(
+            dtype=dtype, attn_impl=attn_impl,
+            native_patching=cfg.model.native_patching,
+        )
 
         if train_loader is None or val_loader is None:
             from monodepth_tpu.data.dataset import get_mars_dataloaders

@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--enhanced_model", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize ViT blocks on backward (larger batches "
+                        "in HBM at ~30%% extra forward FLOPs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_variants", type=int, default=3,
@@ -72,7 +75,8 @@ def main(argv=None):
     ensure_dataset(args)
 
     cfg = TrainConfig(
-        model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype),
+        model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
+                          remat=args.remat),
         data_dir=args.data_dir,
         source_type=args.source_type,
         batch_size=args.batch_size,

@@ -55,6 +55,11 @@ def parse_args(argv=None):
                         help="Optional checkpoint (.pth reference format or Orbax dir)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--native_resolution", action="store_true",
+                        help="Run the ViT at native resolution (4096 tokens "
+                             "@1024px) with fused Pallas attention — the "
+                             "quality mode; default is the reference-parity "
+                             "224x224 path (SURVEY.md §3.6)")
     return parser.parse_args(argv)
 
 
@@ -248,6 +253,7 @@ def main(argv=None):
         enhanced=args.enhanced_model,
         checkpoint=args.checkpoint,
         dtype=args.dtype,
+        native_patching=args.native_resolution,
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")

@@ -27,6 +27,7 @@ class ModelConfig:
     # (where XLA's fused attention wins); 'xla' / 'pallas' force one.
     attn_impl: str = "auto"
     native_patching: bool = False
+    remat: bool = False                       # ViT block rematerialization
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 

@@ -135,6 +135,7 @@ class MarsDomainAdapter:
         self.model = model_cls(
             dtype=dtype, attn_impl=attn_impl,
             native_patching=cfg.model.native_patching,
+            remat=cfg.model.remat,
         )
 
         if train_loader is None or val_loader is None:
@@ -260,8 +261,13 @@ class MarsDomainAdapter:
                 totals[k] += float(losses[k])
             for name, val in zip(self.METRIC_NAMES, errs):
                 metrics[name] += float(val)
-        totals = {k: v / max(n, 1) for k, v in totals.items()}
-        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+        if n == 0:
+            print("Warning: validation split is empty — metrics reported as NaN "
+                  "(increase the dataset or adjust the split fractions).")
+            return ({k: float("nan") for k in totals},
+                    {k: float("nan") for k in metrics})
+        totals = {k: v / n for k, v in totals.items()}
+        metrics = {k: v / n for k, v in metrics.items()}
         return totals, metrics
 
     def finetune(self, num_epochs: Optional[int] = None) -> Dict:

@@ -1,0 +1,87 @@
+"""Inference engine unit tests: image loading, batching, return_all, config
+default regression guards (reference canonical defaults, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from monodepth_tpu.config import InferenceConfig, ModelConfig, TrainConfig
+from monodepth_tpu.inference import MarsDepthEstimator, load_image, preprocess_image
+
+
+def test_config_defaults_match_reference():
+    """Canonical reference defaults are regression-locked (SURVEY.md §5)."""
+    inf = InferenceConfig()
+    assert inf.max_size == 1024               # run_mars_depth.py:41
+    assert inf.source == "auto"
+    tr = TrainConfig()
+    assert tr.batch_size == 8                 # mars_finetune.py defaults
+    assert tr.num_epochs == 20
+    assert tr.learning_rate == 1e-4
+    assert tr.encoder_lr_factor == 0.1        # mars_adapter.py:52-55
+    assert tr.scheduler_step_size == 15
+    assert tr.scheduler_gamma == 0.5
+    assert (tr.height, tr.width) == (384, 512)
+    assert tr.depth_weight == 1.0
+    assert tr.smoothness_weight == 0.001
+    assert tr.checkpoint_every == 5           # mars_adapter.py:112
+    m = ModelConfig()
+    assert (m.min_depth, m.max_depth) == (0.1, 100.0)
+
+
+def test_load_image_downscale(tmp_path, rng):
+    arr = (rng.random((100, 200, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "wide.png"
+    Image.fromarray(arr).save(p)
+    img = load_image(str(p), max_size=50)
+    assert max(img.shape[:2]) == 50
+    assert img.shape == (25, 50, 3)           # aspect preserved
+    assert img.dtype == np.float32 and img.max() <= 1.0
+    # no downscale when already small
+    img2 = load_image(str(p), max_size=400)
+    assert img2.shape == (100, 200, 3)
+
+
+def test_preprocess_image_dtypes(rng):
+    u8 = (rng.random((4, 4, 3)) * 255).astype(np.uint8)
+    f = preprocess_image(u8)
+    assert f.dtype == np.float32 and f.max() <= 1.0
+    f2 = preprocess_image(rng.random((4, 4, 3)).astype(np.float64))
+    assert f2.dtype == np.float32
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    return MarsDepthEstimator(ModelConfig(pretrained=False))
+
+
+def test_predict_return_all(estimator, rng):
+    img = rng.random((48, 48, 3), dtype=np.float32)
+    result = estimator.predict(img, {"source": "rover"}, return_all=True)
+    outs = result["outputs"]
+    assert set(outs) == {("disp", s) for s in range(4)}
+    for v in outs.values():
+        assert v.shape == (1, 48, 48, 1)
+
+
+def test_predict_batch_uniform_and_mixed_sources(estimator, rng):
+    imgs = rng.random((3, 48, 48, 3), dtype=np.float32)
+    out = estimator.predict_batch(
+        imgs, [{"source": "rover"}, {"source": "satellite"},
+               {"source": "ingenuity", "altitude": 10.0}]
+    )
+    assert out["disp"].shape == (3, 48, 48)
+    # satellite disparity is 100x smaller than rover for the same weights
+    # (not the same image, so compare against its own unit-scale run)
+    out_unit = estimator.predict_batch(imgs, None)
+    np.testing.assert_allclose(out["disp"][1], out_unit["disp"][1] * 0.01, rtol=1e-4)
+    np.testing.assert_allclose(out["disp"][2], out_unit["disp"][2] * 1.0, rtol=1e-4)
+
+
+def test_enhanced_estimator_has_uncertainty(rng):
+    est = MarsDepthEstimator(ModelConfig(enhanced=True, pretrained=False))
+    img = rng.random((48, 48, 3), dtype=np.float32)
+    result = est.predict(img)
+    assert "uncertainty" in result
+    assert result["uncertainty"].shape == (48, 48)
+    assert (result["uncertainty"] >= 0).all() and (result["uncertainty"] <= 1).all()

@@ -227,8 +227,15 @@ def organize_dataset(raw_dir: str, out_dir: str,
 
 def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
                          width: int = 512, sources=("rover", "satellite"),
-                         prefetch: int = 2, seed: int = 0):
-    """Train/val/test loaders (reference mars_dataset.py:201-236)."""
+                         prefetch: int = 2, seed: int = 0,
+                         source_type: Optional[str] = None):
+    """Train/val/test loaders (reference mars_dataset.py:201-236).
+
+    `source_type` accepts the reference adapter's convention
+    (mars_adapter.py:42): 'mixed' (all sources), or a single source name.
+    """
+    if source_type is not None and source_type != "mixed":
+        sources = (source_type,)
     loaders = {}
     for split in ("train", "val", "test"):
         ds = MarsImageDataset(data_path, split, height, width, sources, seed=seed)

@@ -118,3 +118,20 @@ def test_prepare_synthetic_mars_data(tmp_path, rng):
                           sources=("rover",))
     assert len(ds) >= 5  # 80% of 8
     assert ds[0]["image"].shape == (24, 32, 3)
+
+
+def test_get_mars_dataloaders_source_type(data_root):
+    from monodepth_tpu.data.dataset import get_mars_dataloaders
+
+    tr, _, _ = get_mars_dataloaders(data_root, batch_size=2, height=32, width=48,
+                                    source_type="rover")
+    sources = set()
+    for b in tr:
+        sources.update(m["source"] for m in b["metadata"])
+    assert sources == {"rover"}
+    tr2, _, _ = get_mars_dataloaders(data_root, batch_size=2, height=32, width=48,
+                                     source_type="mixed")
+    sources2 = set()
+    for b in tr2:
+        sources2.update(m["source"] for m in b["metadata"])
+    assert sources2 == {"rover", "satellite"}

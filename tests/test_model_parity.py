@@ -122,3 +122,28 @@ def test_jit_forward_and_batch(model_sd):
     np.testing.assert_allclose(
         np.asarray(d0[1]), np.asarray(out_unit[("disp", 0)][1]) * 0.01, rtol=1e-5
     )
+
+
+def test_absrel_delta1_parity_budget(model_sd):
+    """BASELINE.md acceptance: AbsRel / δ1 between our depth and the torch
+    reference's depth within 1e-3 (treating the oracle output as GT)."""
+    from monodepth_tpu.layers import compute_depth_errors
+
+    gen = torch.Generator().manual_seed(5)
+    x = torch.rand(1, 3, 200, 260, generator=gen)
+    with torch.no_grad():
+        want = oracle.model_forward(model_sd, x, disp_scale=1.0)
+    gt_disp = want[("disp", 0)].numpy()[0, 0]
+    gt_depth = 1.0 / np.clip(gt_disp, 1e-6, None)
+
+    params, stats = convert_reference_state_dict(model_sd)
+    model = DepthAnything()
+    got = model.apply({"params": params, "batch_stats": stats}, _to_jax_input(x), 1.0)
+    pred_disp = np.asarray(got[("disp", 0)][0, ..., 0])
+    pred_depth = 1.0 / np.clip(pred_disp, 1e-6, None)
+
+    abs_rel, _, _, _, a1, _, _ = compute_depth_errors(
+        jnp.asarray(gt_depth), jnp.asarray(pred_depth)
+    )
+    assert float(abs_rel) < 1e-3, f"AbsRel {float(abs_rel)} exceeds 1e-3"
+    assert float(a1) == 1.0

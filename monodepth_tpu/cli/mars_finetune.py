@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--enhanced_model", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--loss_mode", type=str, default="reference",
+                   choices=["reference", "flip"],
+                   help="'reference' = the reference's jittered-L1 placeholder; "
+                        "'flip' = left-right flip-consistency self-supervision")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
@@ -88,6 +92,7 @@ def main(argv=None):
         width=args.width,
         depth_weight=args.depth_weight,
         smoothness_weight=args.smoothness_weight,
+        loss_mode=args.loss_mode,
         checkpoint_dir=args.save_dir,
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,

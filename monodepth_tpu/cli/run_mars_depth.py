@@ -55,6 +55,10 @@ def parse_args(argv=None):
                         help="Optional checkpoint (.pth reference format or Orbax dir)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--depth_video", action="store_true",
+                        help="After a directory run, render a side-by-side "
+                             "RGB|depth mp4 over the processed frames "
+                             "(utils.visualization.create_depth_video)")
     parser.add_argument("--native_resolution", action="store_true",
                         help="Run the ViT at native resolution (4096 tokens "
                              "@1024px) with fused Pallas attention — the "
@@ -155,6 +159,7 @@ def run_depth_estimation(estimator, image_paths, args):
         visualizer = AdvancedMarsVisualizer(min_depth=0.1, max_depth=100.0)
 
     bench_times = []
+    video_frames = [] if getattr(args, "depth_video", False) else None
     for image_path, img, result, elapsed in _infer_stream(estimator, image_paths, args):
         print(f"Processing {image_path}...")
         source_type = detect_source(image_path, args.source)
@@ -179,6 +184,8 @@ def run_depth_estimation(estimator, image_paths, args):
             show=args.show and args.visualizations == "standard",
         )
         np.save(os.path.join(result_dir, f"{image_name}_depth.npy"), depth_np)
+        if video_frames is not None:
+            video_frames.append((img, depth_np))
 
         if args.visualizations in ("advanced", "all"):
             visualizer.create_multi_view_visualization(
@@ -221,6 +228,15 @@ def run_depth_estimation(estimator, image_paths, args):
             print(f"3D reconstruction saved to {ply_path}")
 
         print(f"Results saved to {result_dir}")
+
+    if video_frames:
+        from monodepth_tpu.utils.visualization import MarsTerrainVisualizer
+
+        video_path = os.path.join(args.output_dir, "depth_video.mp4")
+        MarsTerrainVisualizer().create_depth_video(
+            [f[0] for f in video_frames], [f[1] for f in video_frames], video_path
+        )
+        print(f"Depth video saved to {video_path}")
 
     if args.benchmark and bench_times:
         summary = {

@@ -63,6 +63,10 @@ class TrainConfig:
     width: int = 512
     depth_weight: float = 1.0
     smoothness_weight: float = 0.001
+    # 'reference' reproduces the reference's jittered-L1 placeholder loss
+    # (mars_adapter.py:237-242); 'flip' uses left-right flip consistency —
+    # a real self-supervision signal (docs/ROADMAP.md).
+    loss_mode: str = "reference"
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5
     num_workers: int = 4

@@ -74,9 +74,30 @@ def make_train_step(model, tx, cfg: TrainConfig):
     """Build the jitted train step: (params, batch_stats, opt_state, images,
     scales, rng) -> (new trees, losses)."""
 
+    flip_mode = getattr(cfg, "loss_mode", "reference") == "flip"
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, scales, rng):
         def loss_fn(p):
+            if flip_mode:
+                # one forward over [images; flipped images] for the
+                # flip-consistency objective (train/losses.py)
+                from monodepth_tpu.train.losses import compute_losses_flip
+
+                both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+                both_scales = jnp.concatenate([scales, scales], axis=0)
+                outputs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    both, both_scales, train=True, mutable=["batch_stats"],
+                )
+                disp = outputs[("disp", 0)]
+                b = images.shape[0]
+                losses = compute_losses_flip(
+                    images, disp[:b], disp[b:],
+                    depth_weight=cfg.depth_weight,
+                    smoothness_weight=cfg.smoothness_weight,
+                )
+                return losses["total"], (mutated["batch_stats"], losses)
             outputs, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 images, scales, train=True, mutable=["batch_stats"],

@@ -46,3 +46,34 @@ def compute_losses(
     }
     losses["total"] = losses["depth"] + losses["smoothness"]
     return losses
+
+
+def flip_consistency_loss(disp: jnp.ndarray, disp_flipped: jnp.ndarray):
+    """Left-right flip consistency: the disparity of a mirrored image should
+    be the mirror of the disparity (a real self-supervision signal, unlike
+    the reference's jittered-L1 placeholder — see docs/ROADMAP.md).
+
+    Args:
+      disp:         [B, H, W, 1] disparity of the original images.
+      disp_flipped: [B, H, W, 1] disparity of the horizontally flipped images.
+    """
+    return jnp.mean(jnp.abs(disp - disp_flipped[:, :, ::-1, :]))
+
+
+def compute_losses_flip(
+    images: jnp.ndarray,
+    disp: jnp.ndarray,
+    disp_flipped: jnp.ndarray,
+    depth_weight: float = 1.0,
+    smoothness_weight: float = 0.001,
+):
+    """Flip-consistency training objective (TrainConfig.loss_mode='flip').
+
+    total = depth_weight * flip_consistency + smoothness_weight * smoothness.
+    """
+    losses = {
+        "smoothness": smoothness_weight * get_smooth_loss(disp, images),
+        "depth": depth_weight * flip_consistency_loss(disp, disp_flipped),
+    }
+    losses["total"] = losses["depth"] + losses["smoothness"]
+    return losses

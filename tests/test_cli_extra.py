@@ -107,3 +107,39 @@ def test_metrics_logger(tmp_path):
     logger.close()
     lines = [json.loads(l) for l in open(tmp_path / "logs" / "metrics.jsonl")]
     assert lines[0]["train/loss"] == 0.5 and lines[1]["step"] == 2
+
+
+def test_run_mars_depth_depth_video(image_dir, tmp_path):
+    from monodepth_tpu.cli.run_mars_depth import main
+
+    out = tmp_path / "video_out"
+    rc = main(["--input", str(image_dir), "--output_dir", str(out),
+               "--max_size", "48", "--depth_video"])
+    assert rc == 0
+    video = out / "depth_video.mp4"
+    assert video.exists() and video.stat().st_size > 0
+
+
+def test_evaluate_cli_gt_and_proxy(tmp_path, rng=np.random.default_rng(0)):
+    from monodepth_tpu.cli.evaluate import main
+
+    pred_dir = tmp_path / "preds"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    depth = (rng.random((32, 32)) * 5 + 1).astype(np.float32)
+    np.save(pred_dir / "a_depth.npy", depth * 1.05)
+    np.save(gt_dir / "a_depth.npy", depth)
+
+    rc = main(["--pred_dir", str(pred_dir), "--gt_dir", str(gt_dir),
+               "--output_dir", str(tmp_path / "eval")])
+    assert rc == 0
+    report = json.load(open(tmp_path / "eval" / "metrics.json"))
+    assert abs(report["mean"]["abs_rel"] - 0.05) < 1e-3
+
+    rc2 = main(["--pred_dir", str(pred_dir),
+                "--output_dir", str(tmp_path / "eval2")])
+    assert rc2 == 0
+    report2 = json.load(open(tmp_path / "eval2" / "metrics.json"))
+    assert report2["mode"] == "no_reference"
+    assert np.isfinite(report2["mean"]["entropy"])

@@ -74,3 +74,27 @@ def test_estimator_convert_to_mars_domain(tmp_path, rng):
     # None is a no-op
     est.convert_to_mars_domain(None)
     np.testing.assert_array_equal(est.predict(img)["disp"], after)
+
+
+def test_range_normalize_branches(rng):
+    """The reference's data-dependent input scaling (encoder.py:131-135):
+    [0,255] inputs -> /255 then 2x-1; [0,1] -> 2x-1; already-normalized
+    (negative values) -> unchanged."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models.encoder import _range_normalize
+
+    x255 = rng.random((1, 4, 4, 3)).astype(np.float32) * 255.0
+    x255 = np.maximum(x255, 2.0)  # ensure max > 1
+    out = np.asarray(_range_normalize(jnp.asarray(x255)))
+    np.testing.assert_allclose(out, 2.0 * (x255 / 255.0) - 1.0, rtol=1e-5)
+
+    x01 = rng.random((1, 4, 4, 3)).astype(np.float32)
+    out = np.asarray(_range_normalize(jnp.asarray(x01)))
+    np.testing.assert_allclose(out, 2.0 * x01 - 1.0, rtol=1e-6)
+
+    xnorm = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+    xnorm[0, 0, 0, 0] = -2.0  # guarantees min < 0, max < 1 branch skip
+    xnorm = np.minimum(xnorm, 0.9)
+    out = np.asarray(_range_normalize(jnp.asarray(xnorm)))
+    np.testing.assert_allclose(out, xnorm, rtol=1e-6)

@@ -138,3 +138,22 @@ def test_remat_model_forward_and_grad(rng, tmp_path):
     g = jax.grad(loss)(variables["params"])
     leaf = np.asarray(jax.tree_util.tree_leaves(g)[0])
     assert np.isfinite(leaf).all()
+
+
+def test_flip_consistency_loss_golden():
+    from monodepth_tpu.train.losses import flip_consistency_loss
+
+    disp = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 2, 6, 1))
+    # perfectly consistent: flipped disparity = mirror of disp
+    disp_flipped = disp[:, :, ::-1, :]
+    assert float(flip_consistency_loss(disp, disp_flipped)) == 0.0
+    # constant offset
+    assert float(flip_consistency_loss(disp, disp_flipped + 1.0)) == pytest.approx(1.0)
+
+
+def test_adapter_flip_mode_trains(tiny_data, tmp_path):
+    cfg = _tiny_cfg(tmp_path, data_dir=tiny_data, loss_mode="flip")
+    adapter = MarsDomainAdapter(cfg)
+    losses = adapter.train_one_epoch()
+    assert np.isfinite(losses["total"])
+    assert losses["depth"] >= 0.0

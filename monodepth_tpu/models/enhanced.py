@@ -142,6 +142,10 @@ class EnhancedDepthAnything(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
+    # — skips eight full-resolution output resizes the CLI never reads.
+    # False preserves the reference's full 11-key output contract.
+    light_outputs: bool = False
 
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
@@ -205,6 +209,10 @@ class EnhancedDepthAnything(nn.Module):
             )
             outputs[("disp_fused", 0)] = fused
             outputs[("disp", 0)] = fused
+
+        if self.light_outputs:
+            outputs = {k: v for k, v in outputs.items()
+                       if k in (("disp", 0), ("uncertainty", 0))}
 
         # Resize ALL outputs to the original size (:265-271).
         for key in list(outputs.keys()):

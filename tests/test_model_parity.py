@@ -147,3 +147,18 @@ def test_absrel_delta1_parity_budget(model_sd):
     )
     assert float(abs_rel) < 1e-3, f"AbsRel {float(abs_rel)} exceeds 1e-3"
     assert float(a1) == 1.0
+
+
+def test_enhanced_light_outputs(enhanced_sd, rng=np.random.default_rng(4)):
+    """light_outputs serves the same ("disp",0)/("uncertainty",0)/("depth",0)
+    values as the full output contract."""
+    params, stats = convert_reference_state_dict(enhanced_sd, enhanced=True)
+    x = jnp.asarray(rng.random((1, 96, 112, 3), dtype=np.float32))
+    full = EnhancedDepthAnything().apply(
+        {"params": params, "batch_stats": stats}, x, 1.0)
+    light = EnhancedDepthAnything(light_outputs=True).apply(
+        {"params": params, "batch_stats": stats}, x, 1.0)
+    assert set(light) == {("disp", 0), ("uncertainty", 0), ("depth", 0)}
+    for key in light:
+        np.testing.assert_allclose(
+            np.asarray(light[key]), np.asarray(full[key]), atol=1e-6)

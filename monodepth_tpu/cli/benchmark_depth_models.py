@@ -19,7 +19,6 @@ import numpy as np
 from monodepth_tpu.config import ModelConfig
 from monodepth_tpu.inference import MarsDepthEstimator, detect_source, load_image
 from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator
-from monodepth_tpu.utils.profiling import force_completion
 
 
 def parse_args(argv=None):

@@ -120,8 +120,6 @@ def visualize_validation(adapter, args, num_batches: int = 5):
     viz = MarsTerrainVisualizer()
     out_dir = os.path.join(args.save_dir, "val_viz")
     os.makedirs(out_dir, exist_ok=True)
-    import jax.numpy as jnp
-
     for i, batch in enumerate(adapter.val_loader):
         if i >= num_batches:
             break

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

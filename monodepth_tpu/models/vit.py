@@ -21,7 +21,6 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 from monodepth_tpu.ops.attention import multi_head_attention
 

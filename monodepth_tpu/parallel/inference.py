@@ -8,8 +8,6 @@ this degrades to the plain jit path.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,9 +23,8 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from monodepth_tpu.config import TrainConfig
 from monodepth_tpu.layers import compute_depth_errors, disp_to_depth

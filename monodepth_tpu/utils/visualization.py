@@ -10,7 +10,6 @@ reference's OPEN3D_AVAILABLE gating (visualization.py:14-19).
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 import matplotlib

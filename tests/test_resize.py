@@ -77,3 +77,14 @@ def test_hwc_and_hw_inputs(rng):
     x2 = rng.standard_normal((10, 12), dtype=np.float32)
     out2 = resize_bilinear(jnp.asarray(x2), (5, 6))
     assert out2.shape == (5, 6)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_gather_path_matches_matmul(rng, align_corners):
+    """The gather fallback (used for very large axes) equals the matmul path."""
+    x = rng.standard_normal((1, 30, 40, 2), dtype=np.float32)
+    a = np.asarray(resize_bilinear(jnp.asarray(x), (77, 91), align_corners,
+                                   method="matmul"))
+    b = np.asarray(resize_bilinear(jnp.asarray(x), (77, 91), align_corners,
+                                   method="gather"))
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

@@ -31,9 +31,9 @@ def main() -> int:
 
     from monodepth_tpu.models import DepthAnything
 
-    # batch 16 is the measured throughput sweet spot on v5e (sweep: b8 1340,
-    # b16 1819, b32 1864 img/s — b32's extra HBM residency isn't worth 2%).
-    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16
+    # measured on v5e: b8 1340, b16 1819, b32 1864, b64 1920 img/s; 32 is
+    # the knee of the curve with comfortable HBM headroom.
+    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 32
     size = 1024
     repeats = 30
 

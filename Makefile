@@ -1,0 +1,26 @@
+# Developer entry points for the monodepth_tpu framework.
+
+.PHONY: test bench native clean verify-smoke
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -x -k "not parity and not training and not parallel"
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C native
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+
+# End-to-end smoke on the reference asset corpus (requires the mounted
+# /root/reference assets and a live accelerator; see .claude/skills/verify).
+verify-smoke:
+	python run_mars_depth.py \
+	  --input "/root/reference/assets/rover" \
+	  --output_dir /tmp/verify_smoke --max_size 256 --batch_size 4 --benchmark

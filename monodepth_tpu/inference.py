@@ -145,7 +145,7 @@ class MarsDepthEstimator:
     def _jitted_forward(self):
         model = self.model
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def fwd(variables, x, scale):
             outputs = model.apply(variables, x, scale)
             disp = outputs[("disp", 0)]

@@ -35,14 +35,15 @@ def force_completion(out) -> float:
     import jax
 
     leaves = jax.tree_util.tree_leaves(out)
-    total = 0.0
     for leaf in leaves:
-        if hasattr(leaf, "addressable_data") or hasattr(leaf, "block_until_ready"):
+        if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
-    # fetch one element of the first leaf to force value materialization
+    # Fetch one element of the first leaf: the host copy cannot complete
+    # before the producing program has actually executed.
     first = leaves[0]
-    total = float(np.asarray(first).ravel()[0]) if hasattr(first, "shape") else float(first)
-    return total
+    if hasattr(first, "shape") and getattr(first, "size", 1) > 0:
+        return float(np.asarray(first).ravel()[0])
+    return float(first)
 
 
 class Timer:

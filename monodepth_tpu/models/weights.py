@@ -174,6 +174,96 @@ def convert_reference_state_dict(sd: Mapping, enhanced: bool = False):
     return params, stats
 
 
+def _t_back(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def export_vit_state_dict(params: Mapping, num_layers: int = 12,
+                          prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of `convert_vit_state_dict`: our ViT params -> torchvision
+    naming/layout (new `mlp.{0,3}` convention)."""
+    sd: Dict[str, np.ndarray] = {
+        prefix + "conv_proj.weight": _t_back(params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1),
+        prefix + "conv_proj.bias": _t_back(params["patch_embed"]["bias"]),
+        prefix + "class_token": _t_back(params["cls_token"]),
+        prefix + "encoder.pos_embedding": _t_back(params["pos_embedding"]),
+    }
+    for i in range(num_layers):
+        b = params[f"block_{i}"]
+        p = f"{prefix}encoder.layers.encoder_layer_{i}"
+        sd[p + ".ln_1.weight"] = _t_back(b["ln_1"]["scale"])
+        sd[p + ".ln_1.bias"] = _t_back(b["ln_1"]["bias"])
+        sd[p + ".ln_2.weight"] = _t_back(b["ln_2"]["scale"])
+        sd[p + ".ln_2.bias"] = _t_back(b["ln_2"]["bias"])
+        sd[p + ".self_attention.in_proj_weight"] = _t_back(b["qkv"]["kernel"]).T
+        sd[p + ".self_attention.in_proj_bias"] = _t_back(b["qkv"]["bias"])
+        sd[p + ".self_attention.out_proj.weight"] = _t_back(b["out_proj"]["kernel"]).T
+        sd[p + ".self_attention.out_proj.bias"] = _t_back(b["out_proj"]["bias"])
+        sd[p + ".mlp.0.weight"] = _t_back(b["mlp"]["fc1"]["kernel"]).T
+        sd[p + ".mlp.0.bias"] = _t_back(b["mlp"]["fc1"]["bias"])
+        sd[p + ".mlp.3.weight"] = _t_back(b["mlp"]["fc2"]["kernel"]).T
+        sd[p + ".mlp.3.bias"] = _t_back(b["mlp"]["fc2"]["bias"])
+    return sd
+
+
+def _export_conv(sd, prefix, p):
+    sd[prefix + ".weight"] = _t_back(p["kernel"]).transpose(3, 2, 0, 1)
+    sd[prefix + ".bias"] = _t_back(p["bias"])
+
+
+def _export_bn(sd, prefix, p, s):
+    sd[prefix + ".weight"] = _t_back(p["scale"])
+    sd[prefix + ".bias"] = _t_back(p["bias"])
+    sd[prefix + ".running_mean"] = _t_back(s["mean"])
+    sd[prefix + ".running_var"] = _t_back(s["var"])
+
+
+def _export_convblock(sd, prefix, p, s):
+    _export_conv(sd, f"{prefix}.conv.0.conv.1", p["conv3x3"]["conv"])
+    _export_bn(sd, f"{prefix}.conv.1", p["bn"], s["bn"])
+
+
+def export_reference_state_dict(params: Mapping, batch_stats: Mapping,
+                                enhanced: bool = False) -> Dict[str, np.ndarray]:
+    """Inverse of `convert_reference_state_dict`: our model variables -> a
+    reference-format state dict (loadable by the PyTorch reference via
+    `model.load_state_dict`), so Mars fine-tunes done here round-trip back
+    into the reference ecosystem."""
+    sd: Dict[str, np.ndarray] = export_vit_state_dict(
+        params["encoder"]["vit"], prefix="encoder.encoder."
+    )
+    _export_bn(sd, "encoder.normalize", params["encoder"]["normalize"],
+               batch_stats["encoder"]["normalize"])
+    for i in range(4):
+        _export_conv(sd, f"encoder.channel_reduce.{i}",
+                     params["encoder"][f"channel_reduce_{i}"])
+
+    dec_p, dec_s = params["decoder"], batch_stats["decoder"]
+    names = ["init_conv", "mars_adapt"]
+    for i in range(4):
+        names += [f"upconv_{i}_0", f"upconv_{i}_1"]
+        if i < 3:
+            names.append(f"skip_{i}")
+    for name in names:
+        _export_convblock(sd, f"decoder.convs.{name}", dec_p[name], dec_s[name])
+    for s_idx in range(4):
+        _export_conv(sd, f"decoder.convs.dispconv_{s_idx}",
+                     dec_p[f"dispconv_{s_idx}"])
+
+    if enhanced:
+        for i in (1, 2):
+            att = params[f"attention_{i}"]
+            for proj in ("query", "key", "value"):
+                _export_conv(sd, f"attention_blocks.{i}.{proj}", att[proj])
+            sd[f"attention_blocks.{i}.gamma"] = _t_back(att["gamma"])
+        for j in (1, 2, 3):
+            _export_conv(sd, f"uncertainty_module.conv{j}",
+                         params["uncertainty_module"][f"conv{j}"])
+            _export_conv(sd, f"refinement.conv{j}", params["refinement"][f"conv{j}"])
+        sd["feature_fusion.weights"] = _t_back(params["feature_fusion"]["weights"])
+    return sd
+
+
 def find_vit_weights() -> Optional[str]:
     """Locate a local torchvision vit_b_16 checkpoint, if any."""
     env = os.environ.get("MONODEPTH_TPU_VIT_WEIGHTS")

@@ -98,3 +98,35 @@ def test_range_normalize_branches(rng):
     xnorm = np.minimum(xnorm, 0.9)
     out = np.asarray(_range_normalize(jnp.asarray(xnorm)))
     np.testing.assert_allclose(out, xnorm, rtol=1e-6)
+
+
+def test_weights_roundtrip_export_import():
+    """convert -> export -> convert is the identity on every tensor."""
+    import jax
+
+    from monodepth_tpu.models.weights import (
+        convert_reference_state_dict,
+        export_reference_state_dict,
+    )
+    from tests import torch_oracle as oracle
+
+    gen = torch.Generator().manual_seed(33)
+    sd = oracle.make_model_state_dict(gen, enhanced=True)
+    params, stats = convert_reference_state_dict(sd, enhanced=True)
+    sd2 = export_reference_state_dict(params, stats, enhanced=True)
+    params2, stats2 = convert_reference_state_dict(sd2, enhanced=True)
+
+    flat1 = jax.tree_util.tree_leaves_with_path({"p": params, "s": stats})
+    flat2 = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path({"p": params2, "s": stats2})
+    )
+    assert len(flat1) == len(flat2)
+    for path, v in flat1:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat2[key]), err_msg=key)
+
+    # exported dict matches the original reference keys exactly
+    # (torchvision's unused final encoder.ln is the only reference-side extra)
+    missing = set(k for k in sd if not k.startswith("encoder.encoder.encoder.ln")) - set(sd2)
+    assert not missing, sorted(missing)[:5]

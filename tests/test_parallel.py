@@ -83,3 +83,10 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 384, 512, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_dryrun_multichip_four_devices():
+    """Odd mesh factorization path (4 devices -> data:2 x model:2)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)

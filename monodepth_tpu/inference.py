@@ -129,6 +129,20 @@ class MarsDepthEstimator:
             )
         return self
 
+    def export_reference_checkpoint(self, path: str) -> str:
+        """Save current weights as a reference-format .pth (torch naming),
+        loadable by the PyTorch reference's `load_state_dict` — the inverse
+        of `convert_to_mars_domain`."""
+        import torch
+
+        sd = weights_lib.export_reference_state_dict(
+            jax.tree_util.tree_map(np.asarray, self.variables["params"]),
+            jax.tree_util.tree_map(np.asarray, self.variables["batch_stats"]),
+            enhanced=self.config.enhanced,
+        )
+        torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
+        return path
+
     def _load_checkpoint(self, variables, path: str):
         if os.path.isdir(path):
             from monodepth_tpu.train.checkpoints import restore_params

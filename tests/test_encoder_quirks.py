@@ -130,3 +130,19 @@ def test_weights_roundtrip_export_import():
     # (torchvision's unused final encoder.ln is the only reference-side extra)
     missing = set(k for k in sd if not k.startswith("encoder.encoder.encoder.ln")) - set(sd2)
     assert not missing, sorted(missing)[:5]
+
+
+def test_estimator_export_reference_checkpoint(tmp_path, rng):
+    """Export current weights as reference .pth; reloading them into a fresh
+    estimator reproduces identical predictions."""
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    est = MarsDepthEstimator(ModelConfig(pretrained=False), seed=3)
+    img = rng.random((48, 48, 3), dtype=np.float32)
+    want = est.predict(img, {"source": "rover"})["disp"]
+
+    path = est.export_reference_checkpoint(str(tmp_path / "export.pth"))
+    est2 = MarsDepthEstimator(ModelConfig(checkpoint=path, pretrained=False))
+    got = est2.predict(img, {"source": "rover"})["disp"]
+    np.testing.assert_allclose(got, want, atol=1e-6)

@@ -2,8 +2,9 @@
 
 TPU-first counterpart of the reference's per-image loop
 (run_mars_depth.py:79-253): preprocessing (/255 normalize) runs on-device
-inside jit, forwards are cached per input shape, and batches can be sharded
-across a device mesh (`data_parallel=True`).
+inside jit and forwards are jit-cached per input shape.  For mesh-sharded
+batch inference wrap the model with
+`monodepth_tpu.parallel.inference.ShardedInference`.
 
 Faithfully reproduces the CLI's numeric contract:
 - depth = 1 / clamp(disp, 1e-6) — the *raw reciprocal* used by

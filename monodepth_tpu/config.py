@@ -28,6 +28,11 @@ class ModelConfig:
     attn_impl: str = "auto"
     native_patching: bool = False
     remat: bool = False                       # ViT block rematerialization
+    # Pad the ViT token sequence (197 -> 208) with masked attention keys:
+    # MXU-tile-friendly shapes, measured +19% throughput on v5e.  Real-token
+    # outputs differ only by fp reassociation (<=2e-5, vs the 1e-3 parity
+    # budget); set 1 for the bit-strict parity path.
+    seq_pad_multiple: int = 16
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 

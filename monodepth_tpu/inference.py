@@ -94,6 +94,7 @@ class MarsDepthEstimator:
             dtype=dtype,
             attn_impl=attn_impl,
             native_patching=self.config.native_patching,
+            seq_pad_multiple=self.config.seq_pad_multiple,
         )
         self.variables = self._init_variables(seed)
 

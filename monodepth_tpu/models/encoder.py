@@ -87,6 +87,7 @@ class DepthAnythingEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    seq_pad_multiple: int = 1
 
     @property
     def num_ch_enc(self):
@@ -112,6 +113,7 @@ class DepthAnythingEncoder(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            seq_pad_multiple=self.seq_pad_multiple,
             name="vit",
         )
 

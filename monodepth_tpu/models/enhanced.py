@@ -142,6 +142,7 @@ class EnhancedDepthAnything(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    seq_pad_multiple: int = 1
     # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
     # — skips eight full-resolution output resizes the CLI never reads.
     # False preserves the reference's full 11-key output contract.
@@ -157,6 +158,7 @@ class EnhancedDepthAnything(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            seq_pad_multiple=self.seq_pad_multiple,
             name="encoder",
         )(x, train=train)
 

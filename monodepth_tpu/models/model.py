@@ -88,6 +88,7 @@ class DepthAnything(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    seq_pad_multiple: int = 1
     # Perf knob: when set, only these ("disp", s) keys are resized to input
     # size and returned (the CLI consumes only scale 0; skipping the other
     # three full-resolution resizes saves most of the output bandwidth).
@@ -104,6 +105,7 @@ class DepthAnything(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            seq_pad_multiple=self.seq_pad_multiple,
             name="encoder",
         )(x, train=train)
 

@@ -46,6 +46,7 @@ class EncoderBlock(nn.Module):
     mlp_dim: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    valid_len: int = None  # real tokens when the sequence is padded
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +56,8 @@ class EncoderBlock(nn.Module):
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn_out = multi_head_attention(
-            q, k, v, num_heads=self.num_heads, impl=self.attn_impl
+            q, k, v, num_heads=self.num_heads, impl=self.attn_impl,
+            valid_len=self.valid_len,
         )
         attn_out = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn_out)
         x = x + attn_out
@@ -90,6 +92,11 @@ class VisionTransformer(nn.Module):
     # standard jax.checkpoint recipe for fitting larger fine-tuning batches
     # in HBM.
     remat: bool = False
+    # Pad the token sequence to a multiple of this (e.g. 128) with masked
+    # attention keys — MXU-tile-friendly shapes for the 197-token parity
+    # path.  Real-token outputs are mathematically unchanged (pad keys are
+    # masked; LN/MLP are per-token).  1 disables padding.
+    seq_pad_multiple: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -148,6 +155,14 @@ class VisionTransformer(nn.Module):
             )
         x = x + pos_embedding.astype(x.dtype)
 
+        seq = x.shape[1]
+        valid_len = None
+        if self.seq_pad_multiple > 1 and seq % self.seq_pad_multiple:
+            padded = ((seq + self.seq_pad_multiple - 1)
+                      // self.seq_pad_multiple) * self.seq_pad_multiple
+            x = jnp.pad(x, [(0, 0), (0, padded - seq), (0, 0)])
+            valid_len = seq
+
         taps = []
         tap_set = set(self.tap_indices)
         max_tap = max(tap_set)
@@ -158,10 +173,11 @@ class VisionTransformer(nn.Module):
                 mlp_dim=self.mlp_dim,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                valid_len=valid_len,
                 name=f"block_{i}",
             )(x)
             if i in tap_set:
-                taps.append(x)
+                taps.append(x[:, :seq, :] if valid_len is not None else x)
             if i == max_tap and len(taps) == len(tap_set):
                 # Remaining blocks (and the final LN) don't feed the decoder;
                 # skip them to save compute.  With taps=(2,5,8,11) nothing is

@@ -14,7 +14,7 @@ from jax import nn as jnn
 __all__ = ["multi_head_attention", "spatial_self_attention"]
 
 
-def _mha_xla(q, k, v, num_heads: int):
+def _mha_xla(q, k, v, num_heads: int, valid_len=None):
     b, s, d = q.shape
     head_dim = d // num_heads
 
@@ -24,15 +24,22 @@ def _mha_xla(q, k, v, num_heads: int):
     qh, kh, vh = split(q), split(k), split(v)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32)).astype(q.dtype)
     logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32)
+    if valid_len is not None and valid_len < s:
+        # mask padded keys (sequence padded for MXU-friendly shapes)
+        key_idx = jnp.arange(s)
+        logits = jnp.where(key_idx[None, None, None, :] < valid_len, logits, -jnp.inf)
     weights = jnn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
     return out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla"):
+def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla",
+                         valid_len=None):
     """Scaled dot-product MHA over [B, S, D] tensors (already q/k/v projected).
 
     impl: 'xla' (jnp reference) or 'pallas' (fused TPU kernel).
+    valid_len: number of real (unpadded) key tokens; keys beyond it are
+    masked out (static int).
     """
     if impl == "pallas":
         import jax
@@ -40,9 +47,9 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla"):
         from monodepth_tpu.ops.pallas.attention import fused_mha
 
         # interpret mode on CPU so the pallas path is testable everywhere
-        return fused_mha(q, k, v, num_heads=num_heads,
+        return fused_mha(q, k, v, num_heads=num_heads, valid_len=valid_len,
                          interpret=jax.default_backend() == "cpu")
-    return _mha_xla(q, k, v, num_heads)
+    return _mha_xla(q, k, v, num_heads, valid_len=valid_len)
 
 
 def spatial_self_attention(query, key, value, x, gamma, *, impl: str = "xla"):

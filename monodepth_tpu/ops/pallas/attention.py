@@ -55,9 +55,11 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, scale: float):
 
 
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 128,
-                     interpret: bool = False):
+                     interpret: bool = False, valid_len: int = None):
     """q, k, v: [G, S, D] (G = batch*heads) -> [G, S, D]."""
     g, s, d = q.shape
+    if valid_len is None:
+        valid_len = s
     s_pad = _round_up(s, block_q)
     if s_pad != s:
         pad = [(0, 0), (0, s_pad - s), (0, 0)]
@@ -65,7 +67,7 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 128,
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    kernel = functools.partial(_attention_kernel, s_real=s, scale=scale)
+    kernel = functools.partial(_attention_kernel, s_real=valid_len, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(g, s_pad // block_q),
@@ -85,10 +87,12 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 128,
     return out[:, :s, :]
 
 
-def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False):
+def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
+              valid_len=None):
     """Multi-head attention over [B, S, D] q/k/v (already projected).
 
     Equivalent to ops.attention._mha_xla; softmax scale 1/sqrt(head_dim).
+    valid_len masks keys beyond that index (pre-padded sequences).
     """
     b, s, dim = q.shape
     hd = dim // num_heads
@@ -100,7 +104,8 @@ def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False):
 
     scale = float(1.0 / (hd ** 0.5))
     out = _flash_attention(split(q), split(k), split(v), scale=scale,
-                           interpret=interpret)
+                           interpret=interpret,
+                           valid_len=valid_len if valid_len is not None else s)
     return (out.reshape(b, num_heads, s, hd)
                .transpose(0, 2, 1, 3)
                .reshape(b, s, dim))

@@ -156,6 +156,7 @@ class MarsDomainAdapter:
             dtype=dtype, attn_impl=attn_impl,
             native_patching=cfg.model.native_patching,
             remat=cfg.model.remat,
+            seq_pad_multiple=cfg.model.seq_pad_multiple,
         )
 
         if train_loader is None or val_loader is None:

@@ -162,3 +162,18 @@ def test_enhanced_light_outputs(enhanced_sd, rng=np.random.default_rng(4)):
     for key in light:
         np.testing.assert_allclose(
             np.asarray(light[key]), np.asarray(full[key]), atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_seq_pad_preserves_outputs(model_sd, impl):
+    """seq_pad_multiple pads tokens with masked attention — real-token
+    outputs are unchanged (both attention impls)."""
+    params, stats = convert_reference_state_dict(model_sd)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((1, 96, 112, 3), dtype=np.float32))
+    base = DepthAnything(attn_impl=impl)
+    padded = DepthAnything(attn_impl=impl, seq_pad_multiple=128)
+    variables = {"params": params, "batch_stats": stats}
+    want = np.asarray(base.apply(variables, x, 1.0)[("disp", 0)])
+    got = np.asarray(padded.apply(variables, x, 1.0)[("disp", 0)])
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -33,6 +33,10 @@ class ModelConfig:
     # outputs differ only by fp reassociation (<=2e-5, vs the 1e-3 parity
     # budget); set 1 for the bit-strict parity path.
     seq_pad_multiple: int = 16
+    # Enhanced model only: serve just disp/uncertainty/depth at scale 0,
+    # skipping eight unused full-resolution output resizes.  False keeps the
+    # reference's full 11-key output contract.
+    light_outputs: bool = False
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 

@@ -90,11 +90,15 @@ class MarsDepthEstimator:
             # measured on v5e: XLA wins at the parity path's 197 tokens,
             # the fused Pallas kernel wins 3.9x at native-res 4096 tokens
             attn_impl = "pallas" if self.config.native_patching else "xla"
+        kwargs = {}
+        if self.config.enhanced:
+            kwargs["light_outputs"] = self.config.light_outputs
         self.model = cls(
             dtype=dtype,
             attn_impl=attn_impl,
             native_patching=self.config.native_patching,
             seq_pad_multiple=self.config.seq_pad_multiple,
+            **kwargs,
         )
         self.variables = self._init_variables(seed)
 

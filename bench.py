@@ -31,11 +31,14 @@ def main() -> int:
 
     from monodepth_tpu.models import DepthAnything
 
+    import os
+
     # measured on v5e: b8 1340, b16 1819, b32 1864, b64 1920 img/s; 32 is
     # the knee of the curve with comfortable HBM headroom.
     batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 32
-    size = 1024
-    repeats = 30
+    # size/repeats overridable for CI smoke runs on CPU (test_bench_smoke).
+    size = int(os.environ.get("MONODEPTH_BENCH_SIZE", 1024))
+    repeats = int(os.environ.get("MONODEPTH_BENCH_REPEATS", 30))
 
     # seq_pad_multiple=16: 197 tokens -> 208 (MXU tiles), +19% measured.
     model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),

@@ -55,6 +55,11 @@ def parse_args(argv=None):
                         help="Optional checkpoint (.pth reference format or Orbax dir)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--temporal_smooth", type=int, default=0, metavar="W",
+                        help="Sliding-window temporal consistency filtering "
+                             "over W consecutive frames (sorted input order); "
+                             "applies models.refinement.DepthQualityEnhancement"
+                             ".temporal_consistency_filter before outputs")
     parser.add_argument("--depth_video", action="store_true",
                         help="After a directory run, render a side-by-side "
                              "RGB|depth mp4 over the processed frames "
@@ -160,6 +165,8 @@ def run_depth_estimation(estimator, image_paths, args):
 
     bench_times = []
     video_frames = [] if getattr(args, "depth_video", False) else None
+    temporal_window = []
+    window_size = getattr(args, "temporal_smooth", 0)
     for image_path, img, result, elapsed in _infer_stream(estimator, image_paths, args):
         print(f"Processing {image_path}...")
         source_type = detect_source(image_path, args.source)
@@ -169,6 +176,19 @@ def run_depth_estimation(estimator, image_paths, args):
 
         disp_np, depth_np = result["disp"], result["depth"]
         uncertainty_np = result.get("uncertainty")
+
+        if window_size > 1:
+            from monodepth_tpu.models.refinement import DepthQualityEnhancement
+
+            # sliding window over same-shape consecutive frames
+            if temporal_window and temporal_window[-1].shape != depth_np.shape:
+                temporal_window.clear()
+            temporal_window.append(depth_np)
+            if len(temporal_window) > window_size:
+                temporal_window.pop(0)
+            depth_np = DepthQualityEnhancement.temporal_consistency_filter(
+                list(temporal_window)
+            )
 
         if args.multi_scale_fusion:
             from monodepth_tpu.models.refinement import multi_scale_fusion_refine

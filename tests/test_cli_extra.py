@@ -143,3 +143,15 @@ def test_evaluate_cli_gt_and_proxy(tmp_path, rng=np.random.default_rng(0)):
     report2 = json.load(open(tmp_path / "eval2" / "metrics.json"))
     assert report2["mode"] == "no_reference"
     assert np.isfinite(report2["mean"]["entropy"])
+
+
+def test_run_mars_depth_temporal_smooth(image_dir, tmp_path):
+    from monodepth_tpu.cli.run_mars_depth import main
+
+    out = tmp_path / "temporal_out"
+    rc = main(["--input", str(image_dir), "--output_dir", str(out),
+               "--max_size", "48", "--temporal_smooth", "2"])
+    assert rc == 0
+    a = np.load(out / "rover_a" / "rover_a_depth.npy")
+    b = np.load(out / "rover_b" / "rover_b_depth.npy")
+    assert np.isfinite(a).all() and np.isfinite(b).all()

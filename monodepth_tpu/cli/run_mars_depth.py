@@ -12,8 +12,10 @@ per-image output dirs, `*_depth_standard.png` 3-panel figure and
 
 TPU-native differences: inference is jitted with on-device preprocessing and
 can batch images of a common bucket shape (`--batch_size`); `--benchmark`
-times with `block_until_ready` (proper device timing, vs the reference's
-unsynchronized wall clock).
+timing brackets the host fetch of the results — a true data dependency on
+device compute (vs the reference's unsynchronized wall clock).  Extra
+flags beyond the reference: --native_resolution, --depth_video,
+--temporal_smooth, --checkpoint, --dtype.
 """
 
 from __future__ import annotations

@@ -1,9 +1,14 @@
 # Developer entry points for the monodepth_tpu framework.
 
-.PHONY: test bench native clean verify-smoke
+.PHONY: test test-all bench native clean verify-smoke
 
 test:
 	python -m pytest tests/ -q
+
+# Includes the slow oracle-regeneration tests that re-derive the committed
+# golden fixtures (tests/golden) from the torch oracle.
+test-all:
+	python -m pytest tests/ -q -m ''
 
 test-fast:
 	python -m pytest tests/ -q -x -k "not parity and not training and not parallel"

@@ -6,6 +6,17 @@ vs_baseline is value / 200 — the BASELINE.json north-star target of
 200 images/sec/chip at 1024px (the reference publishes no numbers of its
 own, BASELINE.md).
 
+`--all` additionally measures every BASELINE.md config (1-5) plus the
+native-resolution quality mode and writes them to BENCH_CONFIGS.json
+(progress on stderr; stdout stays the single headline JSON line):
+
+  1. standard model, single rover-style image @384
+  2. batched folder inference @1024 (the headline)
+  3. enhanced model (self-attention + uncertainty)
+  4. multi-scale fusion + texture-aware refinement pass
+  5. Mars fine-tune loop (384x512, batch 8) — steps/s and img/s
+  6. native-resolution mode @1024 (4096 tokens, flash attention)
+
 Measurement protocol (see monodepth_tpu/utils/profiling.py): the remote-
 execution tunnel used in this environment resolves `block_until_ready`
 before device compute finishes, so per-call sync times are unreliable.
@@ -19,37 +30,61 @@ device buffers so no result caching can apply.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+NORTH_STAR = 200.0  # images/sec/chip @1024px (BASELINE.json)
 
-def main() -> int:
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _stage_inputs(batch, size, n=3):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    xs = [
+        jax.device_put(jnp.asarray(rng.random((batch, size, size, 3),
+                                               dtype=np.float32)))
+        for _ in range(n)
+    ]
+    for x in xs:
+        x.block_until_ready()
+    return xs
+
+
+def _pipelined_img_per_s(fwd, variables, xs, batch, repeats):
+    """Warm up, then time `repeats` pipelined dispatches + one probe fetch."""
+    import jax.numpy as jnp
+
+    for i in range(3):
+        out, probe = fwd(variables, xs[i % len(xs)],
+                         jnp.full((batch,), 1.0 + 1e-3 * i))
+        np.asarray(probe)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out, probe = fwd(variables, xs[i % len(xs)],
+                         jnp.full((batch,), 1.0 + 1e-3 * i))
+    np.asarray(probe)  # in-order execution: waits for all `repeats` programs
+    dt = time.perf_counter() - t0
+    return repeats * batch / dt
+
+
+def bench_standard(batch, size, repeats, **model_kw):
     import jax
     import jax.numpy as jnp
 
     from monodepth_tpu.models import DepthAnything
 
-    import os
-
-    # measured on v5e: b8 1340, b16 1819, b32 1864, b64 1920 img/s; 32 is
-    # the knee of the curve with comfortable HBM headroom.
-    batch = int(float(sys.argv[1])) if len(sys.argv) > 1 else 32
-    # size/repeats overridable for CI smoke runs on CPU (test_bench_smoke).
-    size = int(os.environ.get("MONODEPTH_BENCH_SIZE", 1024))
-    repeats = int(os.environ.get("MONODEPTH_BENCH_REPEATS", 30))
-
-    # seq_pad_multiple=16: 197 tokens -> 208 (MXU tiles), +19% measured.
     model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
-                          seq_pad_multiple=16)
-    rng = np.random.default_rng(0)
-    xs = [
-        jax.device_put(jnp.asarray(rng.random((batch, size, size, 3), dtype=np.float32)))
-        for _ in range(3)
-    ]
-    for x in xs:
-        x.block_until_ready()
+                          seq_pad_multiple=model_kw.pop("seq_pad_multiple", 16),
+                          **model_kw)
+    xs = _stage_inputs(batch, size)
     variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
 
     @jax.jit
@@ -57,23 +92,188 @@ def main() -> int:
         out = model.apply(v, x, s)[("disp", 0)]
         return out, out[:, ::256, ::256, 0]
 
-    # Warm-up: compile + settle any lazy recompiles; force completion each time.
-    for i in range(3):
-        out, probe = fwd(variables, xs[i % 3], jnp.full((batch,), 1.0 + 1e-3 * i))
-        np.asarray(probe)
+    return _pipelined_img_per_s(fwd, variables, xs, batch, repeats)
 
+
+def bench_enhanced(batch, size, repeats):
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models import EnhancedDepthAnything
+
+    model = EnhancedDepthAnything(dtype=jnp.bfloat16, seq_pad_multiple=16,
+                                  light_outputs=True)
+    xs = _stage_inputs(batch, size)
+    variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
+
+    @jax.jit
+    def fwd(v, x, s):
+        out = model.apply(v, x, s)[("disp", 0)]
+        return out, out[:, ::256, ::256, 0]
+
+    return _pipelined_img_per_s(fwd, variables, xs, batch, repeats)
+
+
+def bench_fusion(batch, size, repeats):
+    """Standard forward + the CLI's --multi_scale_fusion host refinement
+    (models/refinement.py: hole fill + edge-preserving guided smoothing).
+    Host pass included in the clock — this is the end-to-end config-4 rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models import DepthAnything
+    from monodepth_tpu.models.refinement import multi_scale_fusion_refine
+
+    model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
+                          seq_pad_multiple=16)
+    xs = _stage_inputs(batch, size)
+    imgs = [np.asarray(x, dtype=np.float32) for x in xs]
+    variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
+
+    @jax.jit
+    def fwd(v, x, s):
+        disp = model.apply(v, x, s)[("disp", 0)]
+        return 1.0 / jnp.clip(disp, 1e-6), disp[:, ::256, ::256, 0]
+
+    # warm-up
+    depth, probe = fwd(variables, xs[0], jnp.ones((batch,)))
+    np.asarray(depth)
     t0 = time.perf_counter()
+    done = 0
     for i in range(repeats):
-        out, probe = fwd(variables, xs[i % 3], jnp.full((batch,), 1.0 + 1e-3 * i))
-    np.asarray(probe)  # in-order execution: waits for all `repeats` programs
+        depth, _ = fwd(variables, xs[i % 3], jnp.ones((batch,)))
+        depth_np = np.asarray(depth, dtype=np.float32)
+        for b in range(batch):
+            multi_scale_fusion_refine(depth_np[b, ..., 0], imgs[i % 3][b])
+            done += 1
     dt = time.perf_counter() - t0
+    return done / dt
 
-    value = repeats * batch / dt
+
+def bench_finetune(batch, height, width, steps):
+    """Config 5: jitted fine-tune step rate (384x512 batch 8, the reference
+    training shape, mars_finetune.py:16-61)."""
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.config import ModelConfig, TrainConfig
+    from monodepth_tpu.models import DepthAnything
+    from monodepth_tpu.train.adapter import make_optimizer, make_train_step
+
+    cfg = TrainConfig(model=ModelConfig(pretrained=False, dtype="bfloat16"),
+                      height=height, width=width, batch_size=batch,
+                      checkpoint_dir="")
+    model = DepthAnything(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    images = jax.device_put(jnp.asarray(
+        rng.random((batch, height, width, 3), dtype=np.float32)))
+    scales = jnp.ones((batch,), jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    tx = make_optimizer(params, cfg, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg)
+
+    key = jax.random.PRNGKey(0)
+    # warm-up (compile)
+    params, stats, opt_state, losses = step(params, stats, opt_state,
+                                            images, scales, key)
+    np.asarray(losses["total"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, stats, opt_state, losses = step(params, stats, opt_state,
+                                                images, scales, key)
+    np.asarray(losses["total"])  # data dependency on the final step
+    dt = time.perf_counter() - t0
+    return steps / dt, steps * batch / dt
+
+
+def run_all(headline_value, batch, size, repeats):
+    results = [
+        {"config": "2_batched_folder_1024px_standard",
+         "metric": "images/sec/chip, standard bf16, 1024px, batch 32",
+         "value": round(headline_value, 2), "unit": "images/sec/chip",
+         "vs_baseline": round(headline_value / NORTH_STAR, 3)},
+    ]
+
+    _log("[bench --all] config 1: standard @384, batch 1 ...")
+    v = bench_standard(1, 384, max(repeats, 30))
+    results.append({
+        "config": "1_single_image_384px_standard",
+        "metric": "images/sec/chip, standard bf16, 384px, batch 1",
+        "value": round(v, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(v / NORTH_STAR, 3)})
+
+    _log("[bench --all] config 3: enhanced @1024, batch 16 ...")
+    v = bench_enhanced(16, size, repeats)
+    results.append({
+        "config": "3_enhanced_1024px",
+        "metric": "images/sec/chip, enhanced bf16 (attention+uncertainty), 1024px, batch 16",
+        "value": round(v, 2), "unit": "images/sec/chip",
+        "vs_baseline": round(v / NORTH_STAR, 3)})
+
+    _log("[bench --all] config 4: fusion+refinement @1024, batch 8 ...")
+    v = bench_fusion(8, size, max(repeats // 6, 3))
+    results.append({
+        "config": "4_multi_scale_fusion_refinement_1024px",
+        "metric": "images/sec end-to-end, standard + fusion/refinement host pass, 1024px",
+        "value": round(v, 2), "unit": "images/sec",
+        "vs_baseline": round(v / NORTH_STAR, 3)})
+
+    _log("[bench --all] config 5: fine-tune loop 384x512 batch 8 ...")
+    steps_s, img_s = bench_finetune(8, 384, 512, steps=20)
+    results.append({
+        "config": "5_finetune_loop_384x512_b8",
+        "metric": "train steps/sec (and img/s), standard bf16, 384x512, batch 8",
+        "value": round(steps_s, 3), "unit": "steps/sec",
+        "images_per_sec": round(img_s, 2),
+        "vs_baseline": None})
+
+    _log("[bench --all] config 6: native-resolution mode @1024, batch 4 ...")
+    try:
+        v = bench_standard(4, size, max(repeats // 3, 5),
+                           native_patching=True, attn_impl="pallas",
+                           attn_window=int(os.environ.get(
+                               "MONODEPTH_BENCH_NATIVE_WINDOW", "16")),
+                           seq_pad_multiple=1)
+        results.append({
+            "config": "6_native_resolution_1024px",
+            "metric": "images/sec/chip, native-resolution bf16 (4096 tokens), 1024px",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / NORTH_STAR, 3)})
+    except Exception as e:  # pragma: no cover - env-dependent
+        _log(f"[bench --all] native mode failed: {e}")
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_CONFIGS.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    _log(f"[bench --all] wrote {path}")
+
+
+def main() -> int:
+    # measured on v5e: b8 1340, b16 1819, b32 1864, b64 1920 img/s; 32 is
+    # the knee of the curve with comfortable HBM headroom.
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all_configs = "--all" in sys.argv[1:] or os.environ.get("MONODEPTH_BENCH_ALL")
+    batch = int(float(args[0])) if args else 32
+    # size/repeats overridable for CI smoke runs on CPU (test_bench_smoke).
+    size = int(os.environ.get("MONODEPTH_BENCH_SIZE", 1024))
+    repeats = int(os.environ.get("MONODEPTH_BENCH_REPEATS", 30))
+
+    # seq_pad_multiple=16: 197 tokens -> 208 (MXU tiles), +19% measured.
+    value = bench_standard(batch, size, repeats)
+
+    if run_all_configs:
+        run_all(value, batch, size, repeats)
+
     print(json.dumps({
         "metric": "images/sec/chip, standard model bf16, 1024px inference",
         "value": round(value, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / 200.0, 3),
+        "vs_baseline": round(value / NORTH_STAR, 3),
     }))
     return 0
 

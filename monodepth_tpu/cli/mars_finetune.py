@@ -41,9 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--loss_mode", type=str, default="reference",
-                   choices=["reference", "flip"],
+                   choices=["reference", "flip", "photometric"],
                    help="'reference' = the reference's jittered-L1 placeholder; "
-                        "'flip' = left-right flip-consistency self-supervision")
+                        "'flip' = left-right flip-consistency self-supervision; "
+                        "'photometric' = SSIM+L1 reprojection over synthetic "
+                        "pose pairs (backproject/project/sample)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
@@ -76,6 +78,12 @@ def ensure_dataset(args) -> None:
 
 def main(argv=None):
     args = parse_args(argv)
+
+    # Multi-host pods: no-op single-host; reads JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID when launched per-host.
+    from monodepth_tpu.parallel.distributed import initialize
+
+    initialize()
     ensure_dataset(args)
 
     cfg = TrainConfig(

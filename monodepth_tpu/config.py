@@ -27,6 +27,11 @@ class ModelConfig:
     # (where XLA's fused attention wins); 'xla' / 'pallas' force one.
     attn_impl: str = "auto"
     native_patching: bool = False
+    # Native mode only: ViTDet-style window-local attention side (in
+    # patches) for non-tap ViT blocks; 0 = global attention everywhere.
+    # 16 cuts attention FLOPs ~16x at 1024px (4096 tokens) while the four
+    # tap blocks keep full global context.
+    attn_window: int = 0
     remat: bool = False                       # ViT block rematerialization
     # Pad the ViT token sequence (197 -> 208) with masked attention keys:
     # MXU-tile-friendly shapes, measured +19% throughput on v5e.  Real-token
@@ -73,8 +78,11 @@ class TrainConfig:
     depth_weight: float = 1.0
     smoothness_weight: float = 0.001
     # 'reference' reproduces the reference's jittered-L1 placeholder loss
-    # (mars_adapter.py:237-242); 'flip' uses left-right flip consistency —
-    # a real self-supervision signal (docs/ROADMAP.md).
+    # (mars_adapter.py:237-242); 'flip' uses left-right flip consistency;
+    # 'photometric' is the SSIM+L1 reprojection objective over
+    # backproject/project/bilinear_sample with synthetic pose pairs
+    # (train/losses.py:compute_losses_photometric) — the self-supervision
+    # the reference's layers.py:139-248 machinery implies but never wires.
     loss_mode: str = "reference"
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5

@@ -93,10 +93,10 @@ class MarsImageDataset:
             arr = native.resize_bilinear_u8(arr, self.height, self.width)
         return arr.astype(np.float32) / 255.0
 
-    def _augment(self, img: np.ndarray) -> np.ndarray:
+    def _augment(self, img: np.ndarray, rng=None) -> np.ndarray:
         """Color jitter (brightness/contrast/saturation ±0.2) + horizontal flip
         (reference mars_dataset.py:83-86)."""
-        r = self._rng
+        r = rng if rng is not None else self._rng
         img = img * (1 + (r.random() - 0.5) * 0.4)                      # brightness
         mean = img.mean()
         img = (img - mean) * (1 + (r.random() - 0.5) * 0.4) + mean      # contrast
@@ -107,19 +107,23 @@ class MarsImageDataset:
             img = img[:, ::-1, :]
         return np.ascontiguousarray(img)
 
-    def __getitem__(self, index: int) -> Dict:
+    def get(self, index: int, rng=None) -> Dict:
+        """Load one item; `rng` (optional np.random.Generator) makes the
+        augmentation/resample stream deterministic per item — required for
+        worker-count-independent results in the multiprocess loader."""
+        r = rng if rng is not None else self._rng
         for _ in range(10):
             try:
                 img = self._load(index)
                 break
             except Exception:
                 # corrupt image -> random resample (reference :98-103)
-                index = int(self._rng.integers(len(self.samples)))
+                index = int(r.integers(len(self.samples)))
         else:
             raise RuntimeError("too many corrupt images in dataset")
 
         if self.is_train:
-            img = self._augment(img)
+            img = self._augment(img, rng=rng)
         if self.normalize:
             img = (img - IMAGENET_MEAN) / IMAGENET_STD
 
@@ -133,20 +137,55 @@ class MarsImageDataset:
             },
         }
 
+    def __getitem__(self, index: int) -> Dict:
+        return self.get(index)
+
+
+# Worker-process state for the multiprocess decode pool (fork start method:
+# the dataset object is inherited; the initializer just records it).
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_get(args):
+    index, item_seed = args
+    return _WORKER_DATASET.get(index, rng=np.random.default_rng(item_seed))
+
 
 class NumpyLoader:
-    """Thread-prefetched numpy batch loader (drop_last on train).
+    """Prefetched numpy batch loader (drop_last on train).
 
     Yields {'image': [B, H, W, 3] float32, 'metadata': list of dicts}.
+
+    - `num_workers > 0` decodes/augments in a forked process pool (the torch
+      DataLoader-workers equivalent, reference mars_dataset.py:229-236) with
+      `prefetch` batches in flight; 0 = in-process with a prefetch thread.
+      Per-item RNG is derived from (seed, epoch, position), so results are
+      identical for every worker count.
+    - `shard_index`/`shard_count` select this host's rows of every *global*
+      batch for multi-host data parallelism (`batch_size` stays the global
+      size; each host yields batch_size/shard_count rows, same order on all
+      hosts).
     """
 
     def __init__(self, dataset: MarsImageDataset, batch_size: int,
-                 shuffle: bool, drop_last: bool, prefetch: int = 2, seed: int = 0):
+                 shuffle: bool, drop_last: bool, prefetch: int = 2, seed: int = 0,
+                 num_workers: int = 0, shard_index: int = 0, shard_count: int = 1):
+        assert 0 <= shard_index < shard_count
+        assert batch_size % shard_count == 0, (
+            f"global batch {batch_size} not divisible by {shard_count} hosts")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self._epoch = 0
         self._seed = seed
 
@@ -156,31 +195,93 @@ class NumpyLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches(self):
+    @property
+    def local_batch_size(self):
+        return self.batch_size // self.shard_count
+
+    def _index_batches(self):
+        """Yield (global positions, indices) for this host's shard of every
+        global batch."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self._seed + self._epoch).shuffle(order)
-        self._epoch += 1
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
             idx = order[start:start + self.batch_size]
-            items = [self.dataset[int(i)] for i in idx]
-            yield {
-                "image": np.stack([it["image"] for it in items]),
-                "metadata": [it["metadata"] for it in items],
-            }
+            if len(idx) == self.batch_size:
+                per = self.local_batch_size
+            else:
+                # ragged final batch (drop_last=False): split what's there.
+                # Multi-host training should use drop_last=True so every
+                # host sees the same batch count.
+                per = max(len(idx) // self.shard_count, 1)
+            lo = self.shard_index * per
+            shard = idx[lo:lo + per]
+            if len(shard) == 0:
+                continue
+            yield np.arange(start + lo, start + lo + len(shard)), shard
+
+    def _collate(self, items):
+        return {
+            "image": np.stack([it["image"] for it in items]),
+            "metadata": [it["metadata"] for it in items],
+        }
+
+    def _item_seed(self, position: int, epoch: int) -> int:
+        # deterministic per (seed, epoch, global position in the epoch order)
+        return (self._seed * 1_000_003 + epoch * 7919 + int(position)) & 0x7FFFFFFF
+
+    def _batches_serial(self):
+        epoch = self._epoch
+        for positions, idx in self._index_batches():
+            items = [
+                self.dataset.get(
+                    int(i), rng=np.random.default_rng(self._item_seed(p, epoch)))
+                for p, i in zip(positions, idx)
+            ]
+            yield self._collate(items)
+        self._epoch += 1
+
+    def _iter_multiprocess(self):
+        import multiprocessing as mp
+        from collections import deque
+
+        ctx = mp.get_context("fork")
+        epoch = self._epoch
+        batches = list(self._index_batches())
+        self._epoch += 1
+        with ctx.Pool(self.num_workers, initializer=_pool_init,
+                      initargs=(self.dataset,)) as pool:
+            pending: deque = deque()
+            depth = max(self.prefetch, 1)
+
+            def submit(j):
+                positions, idx = batches[j]
+                args = [(int(i), self._item_seed(p, epoch))
+                        for p, i in zip(positions, idx)]
+                pending.append(pool.map_async(_pool_get, args))
+
+            for j in range(min(depth, len(batches))):
+                submit(j)
+            for j in range(len(batches)):
+                if j + depth < len(batches):
+                    submit(j + depth)
+                yield self._collate(pending.popleft().get())
 
     def __iter__(self):
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from self._batches_serial()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def worker():
             try:
-                for batch in self._batches():
+                for batch in self._batches_serial():
                     q.put(batch)
             finally:
                 q.put(sentinel)
@@ -228,11 +329,16 @@ def organize_dataset(raw_dir: str, out_dir: str,
 def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
                          width: int = 512, sources=("rover", "satellite"),
                          prefetch: int = 2, seed: int = 0,
-                         source_type: Optional[str] = None):
+                         source_type: Optional[str] = None,
+                         num_workers: int = 0,
+                         shard_index: int = 0, shard_count: int = 1):
     """Train/val/test loaders (reference mars_dataset.py:201-236).
 
     `source_type` accepts the reference adapter's convention
     (mars_adapter.py:42): 'mixed' (all sources), or a single source name.
+    `num_workers` enables the multiprocess decode pool; `shard_index`/
+    `shard_count` select this host's rows for multi-host DP (batch_size is
+    the global batch).
     """
     if source_type is not None and source_type != "mixed":
         sources = (source_type,)
@@ -245,5 +351,8 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
             drop_last=(split == "train"),
             prefetch=prefetch,
             seed=seed,
+            num_workers=num_workers,
+            shard_index=shard_index,
+            shard_count=shard_count,
         )
     return loaders["train"], loaders["val"], loaders["test"]

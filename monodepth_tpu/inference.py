@@ -98,6 +98,7 @@ class MarsDepthEstimator:
             attn_impl=attn_impl,
             native_patching=self.config.native_patching,
             seq_pad_multiple=self.config.seq_pad_multiple,
+            attn_window=self.config.attn_window,
             **kwargs,
         )
         self.variables = self._init_variables(seed)

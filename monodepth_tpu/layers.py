@@ -21,6 +21,8 @@ __all__ = [
     "rot_from_axisangle",
     "backproject_depth",
     "project_3d",
+    "bilinear_sample",
+    "default_intrinsics",
     "upsample",
     "get_smooth_loss",
     "ssim",
@@ -146,6 +148,61 @@ def project_3d(points, K, T, height: int, width: int, eps: float = 1e-7):
     scale = jnp.asarray([width - 1, height - 1], pix.dtype)
     pix = pix / scale
     return (pix - 0.5) * 2.0
+
+
+def bilinear_sample(img, pix_coords):
+    """Differentiable bilinear sampling (F.grid_sample equivalent:
+    align_corners=True, padding_mode='border' — the monodepth2 warp
+    convention the reference's Project3D output feeds, layers.py:171-193).
+
+    Args:
+      img:        [B, H, W, C] source image.
+      pix_coords: [B, Ho, Wo, 2] normalized (x, y) in [-1, 1] as produced
+                  by `project_3d`.
+
+    Returns [B, Ho, Wo, C] sampled image.
+    """
+    b, h, w, c = img.shape
+    x = (pix_coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (pix_coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    x = jnp.clip(x, 0.0, w - 1)
+    y = jnp.clip(y, 0.0, h - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    def gather(yi, xi):
+        flat = img.reshape(b, h * w, c)
+        idx = (yi * w + xi).astype(jnp.int32).reshape(b, -1)
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out.reshape(*yi.shape, c)
+
+    top = gather(y0, x0) * (1 - wx) + gather(y0, x1) * wx
+    bot = gather(y1, x0) * (1 - wx) + gather(y1, x1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def default_intrinsics(batch: int, height: int, width: int, dtype=jnp.float32):
+    """Default pinhole intrinsics: f = 0.7 * max(h, w), principal point at
+    the center (the reference's terrain_reconstruction_fixed.py:39-47 rule).
+
+    Returns (K, inv_K) as [B, 4, 4].
+    """
+    f = 0.7 * max(height, width)
+    K = jnp.asarray(
+        [[f, 0.0, (width - 1) / 2.0, 0.0],
+         [0.0, f, (height - 1) / 2.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0]],
+        dtype,
+    )
+    inv_K = jnp.linalg.inv(K)
+    return (jnp.broadcast_to(K, (batch, 4, 4)),
+            jnp.broadcast_to(inv_K, (batch, 4, 4)))
 
 
 def upsample(x):

@@ -88,6 +88,9 @@ class DepthAnythingEncoder(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     seq_pad_multiple: int = 1
+    # Native mode only: window-local attention side (patches) in non-tap
+    # blocks (ViTDet recipe); 0 = global everywhere.
+    attn_window: int = 0
 
     @property
     def num_ch_enc(self):
@@ -114,6 +117,7 @@ class DepthAnythingEncoder(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
+            attn_window=self.attn_window if self.native_patching else 0,
             name="vit",
         )
 

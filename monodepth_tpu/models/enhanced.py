@@ -143,6 +143,8 @@ class EnhancedDepthAnything(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     seq_pad_multiple: int = 1
+    # Native mode: ViTDet-style window-local attention (0 = global).
+    attn_window: int = 0
     # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
     # — skips eight full-resolution output resizes the CLI never reads.
     # False preserves the reference's full 11-key output contract.
@@ -159,6 +161,7 @@ class EnhancedDepthAnything(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
+            attn_window=self.attn_window,
             name="encoder",
         )(x, train=train)
 

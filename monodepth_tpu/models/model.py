@@ -89,6 +89,8 @@ class DepthAnything(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     seq_pad_multiple: int = 1
+    # Native mode: ViTDet-style window-local attention (0 = global).
+    attn_window: int = 0
     # Perf knob: when set, only these ("disp", s) keys are resized to input
     # size and returned (the CLI consumes only scale 0; skipping the other
     # three full-resolution resizes saves most of the output bandwidth).
@@ -106,6 +108,7 @@ class DepthAnything(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
+            attn_window=self.attn_window,
             name="encoder",
         )(x, train=train)
 

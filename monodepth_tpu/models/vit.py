@@ -22,7 +22,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from monodepth_tpu.ops.attention import multi_head_attention
+from monodepth_tpu.ops.attention import multi_head_attention, windowed_mha
 
 __all__ = ["VisionTransformer"]
 
@@ -47,6 +47,10 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     valid_len: int = None  # real tokens when the sequence is padded
+    # Window-local attention (native-resolution mode): side length in
+    # patches; 0 = global.  Requires grid_hw and an unpadded sequence.
+    window: int = 0
+    grid_hw: tuple = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,10 +59,16 @@ class EncoderBlock(nn.Module):
         dim = y.shape[-1]
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        attn_out = multi_head_attention(
-            q, k, v, num_heads=self.num_heads, impl=self.attn_impl,
-            valid_len=self.valid_len,
-        )
+        if self.window:
+            attn_out = windowed_mha(
+                q, k, v, num_heads=self.num_heads,
+                grid_hw=self.grid_hw, window=self.window,
+            )
+        else:
+            attn_out = multi_head_attention(
+                q, k, v, num_heads=self.num_heads, impl=self.attn_impl,
+                valid_len=self.valid_len,
+            )
         attn_out = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn_out)
         x = x + attn_out
         # Pre-LN MLP with residual.
@@ -97,6 +107,13 @@ class VisionTransformer(nn.Module):
     # path.  Real-token outputs are mathematically unchanged (pad keys are
     # masked; LN/MLP are per-token).  1 disables padding.
     seq_pad_multiple: int = 1
+    # Native-resolution quality/perf mode: window-local attention (ViTDet
+    # recipe) with this window side (in patches) in every block EXCEPT the
+    # `global_attn_indices` ones (default: the tap blocks), which stay
+    # global.  0 = global attention everywhere.  Ignored (global fallback)
+    # when the patch grid is not divisible by the window.
+    attn_window: int = 0
+    global_attn_indices: Sequence[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -155,9 +172,18 @@ class VisionTransformer(nn.Module):
             )
         x = x + pos_embedding.astype(x.dtype)
 
+        # Windowed attention needs an unpadded CLS+grid sequence and a
+        # window-divisible grid; otherwise fall back to global everywhere.
+        window = self.attn_window
+        if window and (n_h % window or n_w % window):
+            window = 0
+        global_set = set(self.global_attn_indices
+                         if self.global_attn_indices is not None
+                         else self.tap_indices)
+
         seq = x.shape[1]
         valid_len = None
-        if self.seq_pad_multiple > 1 and seq % self.seq_pad_multiple:
+        if not window and self.seq_pad_multiple > 1 and seq % self.seq_pad_multiple:
             padded = ((seq + self.seq_pad_multiple - 1)
                       // self.seq_pad_multiple) * self.seq_pad_multiple
             x = jnp.pad(x, [(0, 0), (0, padded - seq), (0, 0)])
@@ -174,6 +200,8 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 valid_len=valid_len,
+                window=0 if i in global_set else window,
+                grid_hw=(n_h, n_w),
                 name=f"block_{i}",
             )(x)
             if i in tap_set:

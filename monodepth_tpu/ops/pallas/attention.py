@@ -1,19 +1,21 @@
-"""Fused attention Pallas TPU kernels.
+"""Fused attention Pallas TPU kernels (flash: K/V-blocked online softmax).
 
-Two kernels, both with jnp reference implementations in
+Two public entry points, both with jnp reference implementations in
 `monodepth_tpu.ops.attention` used for validation (interpret mode on CPU):
 
 - `fused_mha(q, k, v, num_heads)` — multi-head attention for the ViT
-  (197 tokens in parity mode, up to 4096 in native-resolution mode).
-  Grid over (batch*heads, q-blocks); each program holds its full K/V in VMEM
-  (4096 x 64 bf16 = 512 KB, well within the ~16 MB budget), computes the
-  masked q-block logits, a numerically-stable softmax, and the PV matmul in
-  one fused pass — the [S, S] attention matrix never touches HBM.
+  (197 tokens in parity mode, 4096+ in native-resolution mode).
 - `fused_spatial_attention(q, k, v)` — the enhanced model's HWxHW non-local
-  attention (reference enhanced_model.py:24-33): same structure over
-  (batch, q-blocks) with channel-major value contraction.
+  attention (reference enhanced_model.py:24-33; unscaled logits).
 
-Both keep f32 accumulation (preferred_element_type) regardless of input dtype.
+Both route through one generic flash kernel: grid (G, q-blocks, k-blocks)
+with the k dimension innermost (sequential on TPU), so K/V stream through
+VMEM in `block_k` tiles while per-q-block running max / normalizer / value
+accumulator live in VMEM scratch across the k iterations.  The [S, S]
+attention matrix never exists anywhere, VMEM use is O(block_q * block_k)
+independent of sequence length (tested to 16k tokens), and accumulation is
+f32 regardless of input dtype.  Masked (padded) keys use a -1e30 logit so
+no inf/nan arithmetic ever occurs.
 """
 
 from __future__ import annotations
@@ -27,68 +29,122 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_mha", "fused_spatial_attention"]
 
+_NEG_BIG = -1e30  # softmax mask value: exp(-1e30 - m) underflows to exactly 0
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, s_real: int, scale: float):
-    """One q-block vs full K/V: masked softmax attention.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  s_real: int, scale: float, block_k: int, num_k: int):
+    """One (q-block, k-block) grid step of online-softmax attention.
 
-    q_ref: [BQ, D]; k_ref/v_ref: [S_pad, D]; o_ref: [BQ, D].
+    q_ref: [1, BQ, Dk]; k_ref: [1, BK, Dk]; v_ref: [1, BK, Dv];
+    o_ref: [1, BQ, Dv].  Scratch: m/l [BQ, 128] f32 (lane-replicated running
+    max / normalizer), acc [BQ, Dv] f32.  k-blocks iterate innermost; scratch
+    carries state across them; the output is written on the last k step.
     """
-    q = q_ref[0].astype(jnp.float32) * scale
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    if scale != 1.0:
+        q = q * scale
     k = k_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
+    s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, S_pad]
-    s_pad = logits.shape[-1]
-    if s_pad != s_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < s_real, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
+    )  # [BQ, BK]
+
+    # Mask keys at/after s_real (sequence padding).  Entirely-valid blocks
+    # skip the mask at trace time (kb is a grid constant per compilation?
+    # no — program_id is dynamic, so mask whenever any block can overlap).
+    if num_k * block_k > s_real:
+        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_real, s, _NEG_BIG)
+
+    m_prev = m_scr[:, :1]                       # [BQ, 1]
+    row_max = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, row_max)        # [BQ, 1]
+    p = jnp.exp(s - m_new)                      # [BQ, BK]
+    correction = jnp.exp(m_prev - m_new)        # [BQ, 1]
+
     v = v_ref[0].astype(jnp.float32)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
-    o_ref[0] = out.astype(o_ref.dtype)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, Dv]
+
+    l_prev = l_scr[:, :1]
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kb == num_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_attention(q, k, v, *, scale: float, block_q: int = 128,
-                     interpret: bool = False, valid_len: int = None):
-    """q, k, v: [G, S, D] (G = batch*heads) -> [G, S, D]."""
-    g, s, d = q.shape
+def _flash_attention(q, k, v, *, scale: float, block_q: int = 256,
+                     block_k: int = 512, interpret: bool = False,
+                     valid_len: int = None):
+    """Generic flash attention: q [G, S, Dk], k [G, S, Dk], v [G, S, Dv].
+
+    Returns [G, S, Dv].  G = batch*heads (MHA) or batch (spatial).  Keys at
+    index >= valid_len are masked out of the softmax.
+    """
+    g, s, dk = q.shape
+    dv = v.shape[-1]
     if valid_len is None:
         valid_len = s
-    s_pad = _round_up(s, block_q)
-    if s_pad != s:
-        pad = [(0, 0), (0, s_pad - s), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
+    # q rows and k/v columns pad independently to their own block multiples.
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    sq_pad = _round_up(s, block_q)
+    sk_pad = _round_up(s, block_k)
+    if sq_pad != s:
+        q = jnp.pad(q, [(0, 0), (0, sq_pad - s), (0, 0)])
+    if sk_pad != s:
+        k = jnp.pad(k, [(0, 0), (0, sk_pad - s), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, sk_pad - s), (0, 0)])
+    num_q = sq_pad // block_q
+    num_k = sk_pad // block_k
 
-    kernel = functools.partial(_attention_kernel, s_real=valid_len, scale=scale)
+    kernel = functools.partial(
+        _flash_kernel, s_real=valid_len, scale=scale,
+        block_k=block_k, num_k=num_k,
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(g, s_pad // block_q),
+        grid=(g, num_q, num_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, dk), lambda i, j, kb: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, dk), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, dv), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, dv), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, s_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, sq_pad, dv), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running normalizer
+            pltpu.VMEM((block_q, dv), jnp.float32),    # value accumulator
+        ],
         interpret=interpret,
     )(q, k, v)
     return out[:, :s, :]
 
 
 def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
-              valid_len=None):
+              valid_len=None, block_q: int = 256, block_k: int = 512):
     """Multi-head attention over [B, S, D] q/k/v (already projected).
 
     Equivalent to ops.attention._mha_xla; softmax scale 1/sqrt(head_dim).
@@ -104,6 +160,7 @@ def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
 
     scale = float(1.0 / (hd ** 0.5))
     out = _flash_attention(split(q), split(k), split(v), scale=scale,
+                           block_q=block_q, block_k=block_k,
                            interpret=interpret,
                            valid_len=valid_len if valid_len is not None else s)
     return (out.reshape(b, num_heads, s, hd)
@@ -111,54 +168,14 @@ def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
                .reshape(b, s, dim))
 
 
-def _spatial_kernel(q_ref, k_ref, v_ref, o_ref, *, n_real: int):
-    """Unscaled softmax(Q K^T) V for the HWxHW spatial attention."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if logits.shape[-1] != n_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_real, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[0].astype(jnp.float32)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
-    o_ref[0] = out.astype(o_ref.dtype)
-
-
-def fused_spatial_attention(q, k, v, *, block_q: int = 128,
-                            interpret: bool = False):
+def fused_spatial_attention(q, k, v, *, block_q: int = 256,
+                            block_k: int = 512, interpret: bool = False):
     """Spatial non-local attention: q, k [B, N, Cq], v [B, N, C] -> [B, N, C].
 
     out_i = sum_j softmax_j(<q_i, k_j>) v_j  (no scaling, matching the
     reference SelfAttentionBlock, enhanced_model.py:24-33).
     """
-    b, n, cq = q.shape
-    c = v.shape[-1]
-    n_pad = _round_up(n, block_q)
-    if n_pad != n:
-        q = jnp.pad(q, [(0, 0), (0, n_pad - n), (0, 0)])
-        k = jnp.pad(k, [(0, 0), (0, n_pad - n), (0, 0)])
-        v = jnp.pad(v, [(0, 0), (0, n_pad - n), (0, 0)])
-
-    kernel = functools.partial(_spatial_kernel, n_real=n)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, n_pad // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, cq), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, cq), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, c), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, c), v.dtype),
-        interpret=interpret,
-    )(q, k, v)
-    return out[:, :n, :]
+    n = q.shape[1]
+    return _flash_attention(q, k, v, scale=1.0, block_q=block_q,
+                            block_k=block_k, interpret=interpret,
+                            valid_len=n)

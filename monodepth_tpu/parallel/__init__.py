@@ -8,6 +8,13 @@ data-parallel batching for inference and fine-tuning.  XLA inserts the ICI
 collectives (all-reduce / all-gather) — no explicit comms code needed.
 """
 
+from monodepth_tpu.parallel.distributed import (  # noqa: F401
+    host_local_batch_to_global,
+    initialize,
+    is_primary,
+    process_count,
+    process_index,
+)
 from monodepth_tpu.parallel.mesh import (  # noqa: F401
     create_mesh,
     param_partition_spec,

@@ -73,12 +73,28 @@ def make_train_step(model, tx, cfg: TrainConfig):
     """Build the jitted train step: (params, batch_stats, opt_state, images,
     scales, rng) -> (new trees, losses)."""
 
-    flip_mode = getattr(cfg, "loss_mode", "reference") == "flip"
+    loss_mode = getattr(cfg, "loss_mode", "reference")
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, scales, rng):
         def loss_fn(p):
-            if flip_mode:
+            if loss_mode == "photometric":
+                # SSIM+L1 reprojection objective (train/losses.py)
+                from monodepth_tpu.train.losses import compute_losses_photometric
+
+                outputs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    images, scales, train=True, mutable=["batch_stats"],
+                )
+                losses = compute_losses_photometric(
+                    images, outputs[("disp", 0)], rng,
+                    depth_weight=cfg.depth_weight,
+                    smoothness_weight=cfg.smoothness_weight,
+                    min_depth=cfg.model.min_depth,
+                    max_depth=cfg.model.max_depth,
+                )
+                return losses["total"], (mutated["batch_stats"], losses)
+            if loss_mode == "flip":
                 # one forward over [images; flipped images] for the
                 # flip-consistency objective (train/losses.py)
                 from monodepth_tpu.train.losses import compute_losses_flip
@@ -161,10 +177,15 @@ class MarsDomainAdapter:
 
         if train_loader is None or val_loader is None:
             from monodepth_tpu.data.dataset import get_mars_dataloaders
+            from monodepth_tpu.parallel.distributed import (
+                process_count, process_index,
+            )
 
             tr, va, _ = get_mars_dataloaders(
                 cfg.data_dir, cfg.batch_size, cfg.height, cfg.width,
-                prefetch=cfg.num_workers // 2, seed=cfg.seed,
+                prefetch=2, seed=cfg.seed,
+                num_workers=cfg.num_workers,
+                shard_index=process_index(), shard_count=process_count(),
             )
             train_loader = train_loader or tr
             val_loader = val_loader or va
@@ -235,21 +256,30 @@ class MarsDomainAdapter:
             print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}")
 
     def save_model(self, step: Optional[int] = None):
-        if self._ckpt_mgr is not None:
+        from monodepth_tpu.parallel.distributed import is_primary
+
+        # multi-host: only process 0 writes checkpoints (single-host: always)
+        if self._ckpt_mgr is not None and is_primary():
             self._ckpt_mgr.save(step if step is not None else self.step,
                                 self._state_dict())
 
     # ----------------------------------------------------------- batches
     def _prep_batch(self, batch):
-        images = jnp.asarray(batch["image"])
-        scales = jnp.asarray(
-            [disp_scale_factor(m) for m in batch["metadata"]], jnp.float32
+        import numpy as _np
+
+        images = _np.asarray(batch["image"])
+        scales = _np.asarray(
+            [disp_scale_factor(m) for m in batch["metadata"]], _np.float32
         )
         if self.mesh is not None:
-            from monodepth_tpu.parallel.mesh import shard_batch
+            # per-host shards -> one global sharded array (multi-host safe;
+            # single-host this equals a sharded device_put)
+            from monodepth_tpu.parallel.distributed import (
+                host_local_batch_to_global,
+            )
 
-            images, scales = shard_batch((images, scales), self.mesh)
-        return images, scales
+            return host_local_batch_to_global((images, scales), self.mesh)
+        return jnp.asarray(images), jnp.asarray(scales)
 
     # ------------------------------------------------------------ epochs
     def train_one_epoch(self) -> Dict[str, float]:

@@ -14,9 +14,19 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from monodepth_tpu.layers import disp_to_depth, get_smooth_loss
+from monodepth_tpu.layers import (
+    backproject_depth,
+    bilinear_sample,
+    default_intrinsics,
+    disp_to_depth,
+    get_smooth_loss,
+    project_3d,
+    ssim,
+    transformation_from_parameters,
+)
 
-__all__ = ["compute_losses"]
+__all__ = ["compute_losses", "compute_losses_flip", "compute_losses_photometric",
+           "photometric_error", "synthetic_pair"]
 
 
 def compute_losses(
@@ -43,6 +53,97 @@ def compute_losses(
     losses = {
         "smoothness": smoothness_weight * smoothness,
         "depth": depth_weight * depth_loss,
+    }
+    losses["total"] = losses["depth"] + losses["smoothness"]
+    return losses
+
+
+def photometric_error(pred: jnp.ndarray, target: jnp.ndarray,
+                      alpha: float = 0.85) -> jnp.ndarray:
+    """monodepth2 photometric error: alpha*SSIM + (1-alpha)*L1, per pixel.
+
+    The reference ships the SSIM module (layers.py:218-248) as declared
+    intent but never wires it into a loss; this is the wiring.
+    """
+    l1 = jnp.mean(jnp.abs(pred - target), axis=-1, keepdims=True)
+    return alpha * jnp.mean(ssim(pred, target), axis=-1, keepdims=True) + (1 - alpha) * l1
+
+
+def _sample_pose(rng, batch: int, max_rot: float, max_trans: float, dtype):
+    """Small random camera motion: axis-angle + translation -> (T, T_inv),
+    both [B, 4, 4].  z-translation is zeroed so a fronto-parallel plane has
+    the same depth in both frames (synthetic_pair exactness)."""
+    r_rng, t_rng = jax.random.split(rng)
+    axisangle = jax.random.uniform(
+        r_rng, (batch, 1, 3), dtype, minval=-max_rot, maxval=max_rot)
+    translation = jax.random.uniform(
+        t_rng, (batch, 1, 3), dtype, minval=-max_trans, maxval=max_trans)
+    translation = translation.at[..., 2].set(0.0)
+    T = transformation_from_parameters(axisangle, translation)
+    T_inv = transformation_from_parameters(axisangle, translation, invert=True)
+    return T, T_inv
+
+
+def synthetic_pair(images: jnp.ndarray, T_inv: jnp.ndarray, plane_depth: float):
+    """Render a synthetic 'source view' of each target image: assume a
+    fronto-parallel plane at `plane_depth`, backproject each *source* pixel
+    at that depth, map it into the target frame with T_inv (the inverse of
+    the target->source pose), and sample the target image there.
+
+    Absent real stereo/sequence pairs (the Mars corpus is unordered single
+    frames), this manufactures a geometrically consistent second view: the
+    reprojection warp in `compute_losses_photometric` (which uses the
+    forward pose T) reconstructs the target image exactly when the
+    predicted depth matches the generating plane, so the objective has a
+    well-defined optimum and real parallax gradients.  With real pairs the
+    same code path (backproject -> transform -> project -> sample) trains
+    metric depth; reference layers.py:139-248 intent.
+    """
+    b, h, w, _ = images.shape
+    K, inv_K = default_intrinsics(b, h, w, images.dtype)
+    depth = jnp.full((b, h, w), plane_depth, images.dtype)
+    pix = project_3d(backproject_depth(depth, inv_K), K, T_inv, h, w)
+    return bilinear_sample(images, pix)
+
+
+def compute_losses_photometric(
+    images: jnp.ndarray,
+    disp: jnp.ndarray,
+    rng: jax.Array,
+    depth_weight: float = 1.0,
+    smoothness_weight: float = 0.001,
+    min_depth: float = 0.1,
+    max_depth: float = 100.0,
+    plane_depth: float = 1.0,
+    max_rot: float = 0.005,
+    max_trans: float = 0.02,
+) -> Dict[str, jnp.ndarray]:
+    """SSIM+L1 photometric reprojection objective
+    (TrainConfig.loss_mode='photometric'; VERDICT r1 item 5).
+
+    Per batch: sample a small random camera motion T, render the synthetic
+    source view I_src of each image at a reference plane (see
+    `synthetic_pair`), then warp I_src back through the *predicted* depth
+    and the same T and penalize SSIM+L1 against the original image — the
+    standard monodepth2 reprojection loss over
+    backproject_depth/project_3d/bilinear_sample, plus edge-aware
+    smoothness.
+    """
+    b, h, w, _ = images.shape
+    T, T_inv = _sample_pose(rng, b, max_rot, max_trans, images.dtype)
+    src = jax.lax.stop_gradient(synthetic_pair(images, T_inv, plane_depth))
+
+    _, depth = disp_to_depth(disp, min_depth, max_depth)
+    K, inv_K = default_intrinsics(b, h, w, images.dtype)
+    # Warp the source view back into the target frame via predicted depth:
+    # target pixel -> 3-D (pred depth) -> source pixel (pose T) -> sample.
+    pix = project_3d(backproject_depth(depth[..., 0], inv_K), K, T, h, w)
+    warped = bilinear_sample(src, pix)
+
+    photo = jnp.mean(photometric_error(warped, images))
+    losses = {
+        "smoothness": smoothness_weight * get_smooth_loss(disp, images),
+        "depth": depth_weight * photo,
     }
     losses["total"] = losses["depth"] + losses["smoothness"]
     return losses

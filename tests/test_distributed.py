@@ -1,0 +1,189 @@
+"""Multi-host wiring (parallel/distributed.py), per-host loader sharding,
+the multiprocess decode pool, and TP+DP train-step numerical equivalence
+(VERDICT r1 items 6/7)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from monodepth_tpu.data.dataset import MarsImageDataset, NumpyLoader
+from monodepth_tpu.parallel import distributed
+from monodepth_tpu.parallel.mesh import create_mesh, shard_params
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Tiny on-disk dataset: 12 rover train images, 32x40."""
+    root = tmp_path_factory.mktemp("mars")
+    d = root / "rover" / "train"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        arr = (rng.random((32, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i:02d}.png")
+    return str(root)
+
+
+# ------------------------------------------------------- distributed utils
+def test_initialize_noop_single_host(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.initialize() is False
+    assert distributed.process_count() == 1
+    assert distributed.is_primary()
+
+
+def test_initialize_forwards_to_jax_distributed(monkeypatch):
+    calls = {}
+
+    def fake_init(coordinator_address, num_processes, process_id):
+        calls.update(addr=coordinator_address, n=num_processes, pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(distributed, "_initialized", False)
+    assert distributed.initialize("host0:1234", 4, 2) is True
+    assert calls == {"addr": "host0:1234", "n": 4, "pid": 2}
+    monkeypatch.setattr(distributed, "_initialized", False)
+
+
+def test_initialize_reads_env(monkeypatch):
+    calls = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address, num_processes, process_id:
+        calls.update(addr=coordinator_address, n=num_processes, pid=process_id))
+    monkeypatch.setattr(distributed, "_initialized", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "c:99")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    assert distributed.initialize() is True
+    assert calls == {"addr": "c:99", "n": 2, "pid": 1}
+    monkeypatch.setattr(distributed, "_initialized", False)
+
+
+def test_is_primary_mocked_process_index(monkeypatch):
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    assert not distributed.is_primary()
+
+
+def test_host_local_batch_to_global_single_process():
+    mesh = create_mesh(jax.devices()[:8])
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    arr = distributed.host_local_batch_to_global(x, mesh)
+    assert arr.shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert len(arr.addressable_shards) == 8
+    assert arr.addressable_shards[0].data.shape == (1, 4)
+
+
+# -------------------------------------------------------- loader sharding
+def test_loader_shards_are_disjoint_and_complete(corpus):
+    ds = MarsImageDataset(corpus, "train", 32, 40, sources=("rover",))
+    paths = [[], []]
+    for shard in (0, 1):
+        loader = NumpyLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                             prefetch=0, seed=3, shard_index=shard, shard_count=2)
+        for batch in loader:
+            assert batch["image"].shape == (2, 32, 40, 3)
+            paths[shard] += [m["path"] for m in batch["metadata"]]
+    assert len(paths[0]) == len(paths[1]) == 6
+    assert not set(paths[0]) & set(paths[1])
+    assert len(set(paths[0]) | set(paths[1])) == 12
+
+
+def test_loader_shard_rows_match_global_batch(corpus):
+    """Host h's rows equal rows [h*per:(h+1)*per] of the unsharded batch."""
+    ds = MarsImageDataset(corpus, "train", 32, 40, sources=("rover",),
+                          is_train=False)  # no augs: exact row comparison
+    full = list(NumpyLoader(ds, 4, shuffle=True, drop_last=True, prefetch=0, seed=5))
+    for shard in (0, 1):
+        part = list(NumpyLoader(ds, 4, shuffle=True, drop_last=True, prefetch=0,
+                                seed=5, shard_index=shard, shard_count=2))
+        for fb, pb in zip(full, part):
+            np.testing.assert_array_equal(
+                pb["image"], fb["image"][shard * 2:(shard + 1) * 2])
+
+
+# -------------------------------------------------- multiprocess decoding
+def test_multiprocess_loader_matches_serial(corpus):
+    ds = MarsImageDataset(corpus, "train", 32, 40, sources=("rover",))
+    serial = list(NumpyLoader(ds, 4, shuffle=True, drop_last=True,
+                              prefetch=0, seed=7))
+    mp = list(NumpyLoader(ds, 4, shuffle=True, drop_last=True,
+                          prefetch=2, seed=7, num_workers=3))
+    assert len(serial) == len(mp) == 3
+    for sb, mb in zip(serial, mp):
+        np.testing.assert_array_equal(sb["image"], mb["image"])
+        assert [m["path"] for m in sb["metadata"]] == \
+               [m["path"] for m in mb["metadata"]]
+
+
+def test_multiprocess_loader_epochs_differ(corpus):
+    ds = MarsImageDataset(corpus, "train", 32, 40, sources=("rover",))
+    loader = NumpyLoader(ds, 4, shuffle=True, drop_last=True,
+                         prefetch=2, seed=7, num_workers=2)
+    e0 = [m["path"] for b in loader for m in b["metadata"]]
+    e1 = [m["path"] for b in loader for m in b["metadata"]]
+    assert sorted(e0) == sorted(e1)
+    assert e0 != e1  # reshuffled across epochs
+
+
+# --------------------------------------- sharded train-step equivalence
+def test_sharded_train_step_matches_single_device():
+    """One TP+DP train step (grads through the sharded ViT, optimizer
+    update) == the single-device step (VERDICT r1 item 6)."""
+    from monodepth_tpu.config import ModelConfig, TrainConfig
+    from monodepth_tpu.models import DepthAnything
+    from monodepth_tpu.parallel.mesh import shard_batch
+    from monodepth_tpu.train.adapter import make_optimizer, make_train_step
+
+    cfg = TrainConfig(model=ModelConfig(pretrained=False), height=48, width=64,
+                      checkpoint_dir="")
+    model = DepthAnything()
+    rng = np.random.default_rng(0)
+    images = np.asarray(rng.random((4, 48, 64, 3), dtype=np.float32))
+    scales = np.ones((4,), np.float32)
+    key = jax.random.PRNGKey(2)
+
+    def one_step(mesh):
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images[:1]),
+                               train=False)
+        params = dict(variables["params"])
+        stats = dict(variables["batch_stats"])
+        tx = make_optimizer(params, cfg, steps_per_epoch=1)
+        opt_state = tx.init(params)
+        step = make_train_step(model, tx, cfg)
+        x, s = jnp.asarray(images), jnp.asarray(scales)
+        if mesh is not None:
+            placed = shard_params({"params": params, "batch_stats": stats}, mesh)
+            params, stats = placed["params"], placed["batch_stats"]
+            opt_state = tx.init(params)
+            x, s = shard_batch((x, s), mesh)
+        new_params, new_stats, _, losses = step(params, stats, opt_state, x, s, key)
+        return new_params, new_stats, losses
+
+    p_single, s_single, l_single = one_step(None)
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    with mesh:
+        p_shard, s_shard, l_shard = one_step(mesh)
+
+    assert abs(float(l_single["total"]) - float(l_shard["total"])) < 1e-5
+
+    flat_a = jax.tree_util.tree_leaves_with_path(p_single)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(p_shard)}
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=2e-5, rtol=1e-4,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(k)}")
+    for k, va in jax.tree_util.tree_leaves_with_path(s_single):
+        vb = {jax.tree_util.keystr(kk): vv for kk, vv in
+              jax.tree_util.tree_leaves_with_path(s_shard)}[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   atol=2e-5, rtol=1e-4)

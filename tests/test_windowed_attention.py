@@ -1,0 +1,111 @@
+"""Windowed (ViTDet-style) attention for the native-resolution mode.
+
+Validates `ops.attention.windowed_mha` against a naive masked full-softmax
+reference, and the model-level `attn_window` plumbing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monodepth_tpu.ops.attention import _mha_xla, windowed_mha
+
+
+def _naive_windowed(q, k, v, num_heads, grid_hw, window):
+    """Full S x S attention with an explicit window mask (test oracle)."""
+    b, s, d = q.shape
+    nh, nw = grid_hw
+    hd = d // num_heads
+
+    # window id per token; CLS = -1
+    rows = np.arange(nh * nw) // nw
+    cols = np.arange(nh * nw) % nw
+    wid = (rows // window) * (nw // window) + (cols // window)
+    wid = np.concatenate([[-1], wid])
+    # mask[i, j]: CLS row attends everything; grid rows attend same window.
+    mask = wid[:, None] == wid[None, :]
+    mask[0, :] = True
+
+    qh = np.asarray(q).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = np.asarray(k).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = np.asarray(v).reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+    logits = np.einsum("bhqd,bhkd->bhqk", qh / np.sqrt(hd), kh)
+    logits = np.where(mask[None, None], logits, -np.inf)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    out = np.einsum("bhqk,bhkd->bhqd", w, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+def test_windowed_mha_matches_naive(rng):
+    b, nh, nw, window, heads, d = 2, 8, 12, 4, 4, 64
+    s = 1 + nh * nw
+    q = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    got = np.asarray(windowed_mha(q, k, v, num_heads=heads,
+                                  grid_hw=(nh, nw), window=window))
+    want = _naive_windowed(q, k, v, heads, (nh, nw), window)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_windowed_mha_single_window_matches_global_grid(rng):
+    """window == whole grid: grid tokens see the full grid (but not CLS),
+    so the grid rows equal global attention over grid-only tokens."""
+    b, nh, nw, heads, d = 1, 6, 6, 2, 32
+    s = 1 + nh * nw
+    q = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    got = np.asarray(windowed_mha(q, k, v, num_heads=heads,
+                                  grid_hw=(nh, nw), window=6))
+    grid_want = np.asarray(_mha_xla(q[:, 1:], k[:, 1:], v[:, 1:], heads))
+    np.testing.assert_allclose(got[:, 1:], grid_want, atol=2e-5, rtol=1e-4)
+    cls_want = np.asarray(_mha_xla(q[:, :1], k, v, heads))
+    np.testing.assert_allclose(got[:, :1], cls_want, atol=2e-5, rtol=1e-4)
+
+
+def test_native_model_with_window_runs(rng):
+    """Standard model, native mode + attn_window: shape contract + finite."""
+    from monodepth_tpu.models import DepthAnything
+
+    x = jnp.asarray(rng.random((1, 64, 96, 3), dtype=np.float32))
+    model = DepthAnything(native_patching=True, attn_window=2,
+                          output_scales=(0,))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, 1.0)
+    disp = np.asarray(out[("disp", 0)])
+    assert disp.shape == (1, 64, 96, 1)
+    assert np.isfinite(disp).all()
+    assert (disp >= 0).all() and (disp <= 1).all()
+
+
+def test_window_fallback_to_global_when_not_divisible(rng):
+    """Non-divisible grid: attn_window must fall back to global attention
+    and produce bit-identical outputs to attn_window=0."""
+    from monodepth_tpu.models import DepthAnything
+
+    x = jnp.asarray(rng.random((1, 48, 80, 3), dtype=np.float32))  # 3x5 grid
+    m0 = DepthAnything(native_patching=True, attn_window=0, output_scales=(0,))
+    m1 = DepthAnything(native_patching=True, attn_window=2, output_scales=(0,))
+    variables = m0.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(m0.apply(variables, x, 1.0)[("disp", 0)])
+    got = np.asarray(m1.apply(variables, x, 1.0)[("disp", 0)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_changes_but_approximates_global(rng):
+    """Windowed attention is an approximation: outputs differ from global
+    but stay in a comparable range (sanity against catastrophic wiring)."""
+    from monodepth_tpu.models import DepthAnything
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    m0 = DepthAnything(native_patching=True, attn_window=0, output_scales=(0,))
+    m1 = DepthAnything(native_patching=True, attn_window=2, output_scales=(0,))
+    variables = m0.init(jax.random.PRNGKey(0), x)
+    d0 = np.asarray(m0.apply(variables, x, 1.0)[("disp", 0)])
+    d1 = np.asarray(m1.apply(variables, x, 1.0)[("disp", 0)])
+    assert not np.array_equal(d0, d1)
+    assert abs(d0.mean() - d1.mean()) < 0.25

@@ -12,7 +12,8 @@ import argparse
 import os
 
 from monodepth_tpu.config import ModelConfig
-from monodepth_tpu.hpo import HyperparameterOptimizer, SearchSpace, proxy_objective
+from monodepth_tpu.hpo import (HyperparameterOptimizer, SearchSpace,
+                               precompute_disparities, proxy_objective)
 from monodepth_tpu.inference import MarsDepthEstimator, load_image
 
 
@@ -50,8 +51,12 @@ def main(argv=None):
         ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype)
     )
 
+    # Inference once per image; trials only rescale disparities post-hoc.
+    disp_cache = precompute_disparities(estimator, images_by_source)
+
     def objective(params):
-        return proxy_objective(estimator, images_by_source, params)
+        return proxy_objective(estimator, images_by_source, params,
+                               disp_cache=disp_cache)
 
     opt = HyperparameterOptimizer(objective, SearchSpace(), seed=args.seed)
     opt.optimize(args.n_trials, engine=args.engine)

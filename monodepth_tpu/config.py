@@ -38,6 +38,11 @@ class ModelConfig:
     # outputs differ only by fp reassociation (<=2e-5, vs the 1e-3 parity
     # budget); set 1 for the bit-strict parity path.
     seq_pad_multiple: int = 16
+    # '' (off) or 'int8': ViT matmuls through the int8 MXU path (2x bf16
+    # peak on v5e) with per-channel weight / per-token activation scales.
+    # Serving-only; checkpoints are unchanged (quantization happens inside
+    # jit from the f32 params).  Accuracy bounds: tests/test_quant.py.
+    quantize: str = ""
     # Enhanced model only: serve just disp/uncertainty/depth at scale 0,
     # skipping eight unused full-resolution output resizes.  False keeps the
     # reference's full 11-key output contract.

@@ -34,7 +34,8 @@ except ImportError:  # pragma: no cover
     optuna = None
     OPTUNA_AVAILABLE = False
 
-__all__ = ["SearchSpace", "HyperparameterOptimizer", "proxy_objective", "OPTUNA_AVAILABLE"]
+__all__ = ["SearchSpace", "HyperparameterOptimizer", "proxy_objective",
+           "precompute_disparities", "OPTUNA_AVAILABLE"]
 
 
 @dataclasses.dataclass
@@ -86,9 +87,30 @@ class SearchSpace:
         return out
 
 
+def precompute_disparities(
+    estimator, images_by_source: Dict[str, Sequence[np.ndarray]]
+) -> Dict[str, List[Tuple[np.ndarray, np.ndarray]]]:
+    """Run inference ONCE per image, returning {source: [(image, raw_disp)]}.
+
+    Trial parameters only rescale disparities post-hoc (min/max depth and
+    per-source scale factors never enter the network), so the network forward
+    is trial-invariant.  The reference re-runs full inference on every trial
+    (hyperparameter_optimization.py:89-112); passing this cache to
+    `proxy_objective` amortizes inference across the whole search.
+    """
+    return {
+        source: [(img, estimator.predict(img, None)["disp"]) for img in images]
+        for source, images in images_by_source.items()
+    }
+
+
 def proxy_objective(estimator, images_by_source: Dict[str, Sequence[np.ndarray]],
-                    params: Dict) -> float:
-    """edge + detail - 2*noise averaged per source (reference :220-232)."""
+                    params: Dict, disp_cache: Optional[Dict] = None) -> float:
+    """edge + detail - 2*noise averaged per source (reference :220-232).
+
+    disp_cache: output of `precompute_disparities`; when given, no inference
+    runs here — trials cost only the post-hoc rescale + proxy metrics.
+    """
     from monodepth_tpu.layers import disp_to_depth
     from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator
 
@@ -98,12 +120,13 @@ def proxy_objective(estimator, images_by_source: Dict[str, Sequence[np.ndarray]]
         "ingenuity": params["ingenuity_scale"],
         "satellite": params["satellite_scale"],
     }
+    if disp_cache is None:
+        disp_cache = precompute_disparities(estimator, images_by_source)
     per_source_scores = []
-    for source, images in images_by_source.items():
+    for source, pairs in disp_cache.items():
         scores = []
-        for img in images:
-            result = estimator.predict(img, None)
-            disp = result["disp"] * scale_by_source.get(source, 1.0)
+        for img, raw_disp in pairs:
+            disp = raw_disp * scale_by_source.get(source, 1.0)
             _, depth = disp_to_depth(disp, params["min_depth"], params["max_depth"])
             m = evaluator.compute_proxy_metrics(np.asarray(depth), img)
             scores.append(m["edge_score"] + m["detail_score"] - 2.0 * m["noise_score"])

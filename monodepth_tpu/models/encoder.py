@@ -91,6 +91,8 @@ class DepthAnythingEncoder(nn.Module):
     # Native mode only: window-local attention side (patches) in non-tap
     # blocks (ViTDet recipe); 0 = global everywhere.
     attn_window: int = 0
+    # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
+    quantize: str = ""
 
     @property
     def num_ch_enc(self):
@@ -118,6 +120,7 @@ class DepthAnythingEncoder(nn.Module):
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
             attn_window=self.attn_window if self.native_patching else 0,
+            quantize=self.quantize,
             name="vit",
         )
 

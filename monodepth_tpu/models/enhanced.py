@@ -145,6 +145,8 @@ class EnhancedDepthAnything(nn.Module):
     seq_pad_multiple: int = 1
     # Native mode: ViTDet-style window-local attention (0 = global).
     attn_window: int = 0
+    # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
+    quantize: str = ""
     # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
     # — skips eight full-resolution output resizes the CLI never reads.
     # False preserves the reference's full 11-key output contract.
@@ -162,6 +164,7 @@ class EnhancedDepthAnything(nn.Module):
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
             attn_window=self.attn_window,
+            quantize=self.quantize,
             name="encoder",
         )(x, train=train)
 

@@ -13,15 +13,17 @@ names it as a capability target; here it is live and wired into the CLI's
   joint-bilateral filtering, guided-filter edge-preserving smoothing with
   adaptive radius min(shape)//16, connected-component median hole filling,
   temporal consistency averaging.  cv2.ximgproc is unavailable here, so the
-  guided filter is a from-scratch numpy box-filter implementation (He et al.
-  2010) and joint-bilateral uses it with the RGB guide.
+  guided filter is a from-scratch jitted XLA box-filter implementation
+  (He et al. 2010) and joint-bilateral uses it with the RGB guide.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,30 +129,57 @@ class MultiScaleDepthFusion(nn.Module):
 
 
 # --------------------------------------------------------------------------
-# Static post-processing (numpy host-side; used by CLI and terrain pipeline).
+# Static post-processing.  The guided filter runs on-device as ONE jitted XLA
+# program (separable nearest-padded box filters via cumulative sums): the
+# numpy/scipy version measured ~0.5 s per 1024px image on host — it capped the
+# CLI's --multi_scale_fusion path at ~1 img/s against a ~1900 img/s forward.
 # --------------------------------------------------------------------------
-def _box_filter(x: np.ndarray, r: int) -> np.ndarray:
-    """Mean filter with window (2r+1) via cumulative sums, edge-normalized."""
-    import scipy.ndimage as ndi
+def _box_filter_jnp(x, r: int):
+    """Mean over a (2r+1)^2 window, edges replicated (uniform_filter
+    'nearest' semantics), separable cumsum form: O(H*W) independent of r."""
+    import jax.numpy as jnp
 
-    return ndi.uniform_filter(x.astype(np.float64), size=2 * r + 1, mode="nearest")
+    k = 2 * r + 1
+    for axis in (0, 1):
+        xp = jnp.pad(x, [(r + 1, r) if a == axis else (0, 0)
+                         for a in range(x.ndim)], mode="edge")
+        # pad left by r+1 so c[i+k] - c[i] sums exactly k entries ending
+        # at offset i+r; the extra leading row makes the cumsum exclusive.
+        # associative_scan: jnp.cumsum lowers to an O(n * window)
+        # reduce_window on some backends (measured 6x slower on CPU).
+        c = jax.lax.associative_scan(jnp.add, xp, axis=axis)
+        n = x.shape[axis]
+        hi = jax.lax.slice_in_dim(c, k, k + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+        x = (hi - lo) / k
+    return x
 
 
-def guided_filter(guide: np.ndarray, src: np.ndarray, radius: int, eps: float) -> np.ndarray:
-    """Guided image filter (He et al.), single-channel guide, from scratch."""
-    I = guide.astype(np.float64)
-    p = src.astype(np.float64)
-    mean_I = _box_filter(I, radius)
-    mean_p = _box_filter(p, radius)
-    corr_Ip = _box_filter(I * p, radius)
-    corr_II = _box_filter(I * I, radius)
+def _guided_filter_core(I, p, radius: int, eps):
+    I = I.astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    mean_I = _box_filter_jnp(I, radius)
+    mean_p = _box_filter_jnp(p, radius)
+    corr_Ip = _box_filter_jnp(I * p, radius)
+    corr_II = _box_filter_jnp(I * I, radius)
     var_I = corr_II - mean_I * mean_I
     cov_Ip = corr_Ip - mean_I * mean_p
     a = cov_Ip / (var_I + eps)
     b = mean_p - a * mean_I
-    mean_a = _box_filter(a, radius)
-    mean_b = _box_filter(b, radius)
-    return (mean_a * I + mean_b).astype(np.float32)
+    mean_a = _box_filter_jnp(a, radius)
+    mean_b = _box_filter_jnp(b, radius)
+    return mean_a * I + mean_b
+
+
+_guided_filter_jit = functools.partial(jax.jit, static_argnames=("radius",))(
+    _guided_filter_core)
+
+
+def guided_filter(guide: np.ndarray, src: np.ndarray, radius: int, eps: float) -> np.ndarray:
+    """Guided image filter (He et al.), single-channel guide, from scratch."""
+    out = _guided_filter_jit(jnp.asarray(guide), jnp.asarray(src),
+                             radius, float(eps))
+    return np.asarray(out, dtype=np.float32)
 
 
 class DepthQualityEnhancement:
@@ -215,6 +244,8 @@ class DepthQualityEnhancement:
 
         depth_map = np.squeeze(np.asarray(depth_map)).astype(np.float32)
         invalid = ~np.isfinite(depth_map) | (depth_map <= 0)
+        if not invalid.any():
+            return depth_map  # nothing to fill (the common serving case)
         filled = depth_map.copy()
         filled[~np.isfinite(filled)] = 0.0
 
@@ -257,3 +288,52 @@ def multi_scale_fusion_refine(depth: np.ndarray, rgb: Optional[np.ndarray] = Non
     """
     depth = DepthQualityEnhancement.fill_depth_holes(depth)
     return DepthQualityEnhancement.edge_preserving_smoothing(depth, rgb)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _batched_smooth_jit(depth, guide, radius: int, eps):
+    """Normalize + guided-filter a [B, H, W] stack in ONE device program."""
+
+    def one(d, g):
+        dmin = jnp.min(d)
+        dmax = jnp.max(d)
+        norm = (d - dmin) / (dmax - dmin + 1e-8)
+        return _guided_filter_core(g, norm, radius, eps) \
+            * (dmax - dmin) + dmin
+
+    return jax.vmap(one)(depth, guide)
+
+
+def multi_scale_fusion_refine_batch(depths: np.ndarray,
+                                    rgbs: Optional[np.ndarray] = None):
+    """Batched `multi_scale_fusion_refine` over [B, H, W] (+ [B, H, W, 3]).
+
+    Hole filling runs on host only for frames that actually contain invalid
+    pixels (data-dependent connected components); the edge-preserving
+    smoothing — the dominant cost — runs as one jitted, vmapped device
+    program per batch instead of B separate host round-trips.
+    """
+    depths = np.asarray(depths, dtype=np.float32)
+    out = depths.copy()
+    for i in range(out.shape[0]):
+        invalid = ~np.isfinite(out[i]) | (out[i] <= 0)
+        if invalid.any():
+            out[i] = DepthQualityEnhancement.fill_depth_holes(out[i])
+    radius = max(1, min(out.shape[1:3]) // 16)
+    if rgbs is None:
+        dmin = out.min(axis=(1, 2), keepdims=True)
+        dmax = out.max(axis=(1, 2), keepdims=True)
+        guide = (out - dmin) / (dmax - dmin + 1e-8)
+    else:
+        rgbs = np.asarray(rgbs)
+        if rgbs.dtype != np.uint8:
+            rgbs = (np.clip(rgbs, 0, 1) * 255).astype(np.uint8)
+        # ITU-R BT.601 luma, rounded through uint8 — matches the per-image
+        # path's cv2.cvtColor(RGB2GRAY) on uint8 input bit-for-bit.
+        luma = (0.299 * rgbs[..., 0] + 0.587 * rgbs[..., 1]
+                + 0.114 * rgbs[..., 2])
+        guide = np.round(luma).astype(np.uint8).astype(np.float32) / 255.0
+    return np.asarray(
+        _batched_smooth_jit(jnp.asarray(out), jnp.asarray(guide),
+                            radius, 0.1),
+        dtype=np.float32)

@@ -27,17 +27,29 @@ from monodepth_tpu.ops.attention import multi_head_attention, windowed_mha
 __all__ = ["VisionTransformer"]
 
 
+def _dense_cls(quantize: str):
+    """nn.Dense or its int8-MXU drop-in (same param names/shapes)."""
+    if quantize == "int8":
+        from monodepth_tpu.ops.quant import QuantDense
+
+        return QuantDense
+    assert not quantize, f"unknown quantize mode {quantize!r}"
+    return nn.Dense
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        dense = _dense_cls(self.quantize)
+        x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         # torch.nn.GELU default is the exact erf formulation.
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -51,13 +63,15 @@ class EncoderBlock(nn.Module):
     # patches; 0 = global.  Requires grid_hw and an unpadded sequence.
     window: int = 0
     grid_hw: tuple = None
+    quantize: str = ""  # '' (off) or 'int8' (quantized MXU matmuls)
 
     @nn.compact
     def __call__(self, x):
+        dense = _dense_cls(self.quantize)
         # Pre-LN attention with residual.
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")(x)
         dim = y.shape[-1]
-        qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(y)
+        qkv = dense(3 * dim, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.window:
             attn_out = windowed_mha(
@@ -69,11 +83,12 @@ class EncoderBlock(nn.Module):
                 q, k, v, num_heads=self.num_heads, impl=self.attn_impl,
                 valid_len=self.valid_len,
             )
-        attn_out = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn_out)
+        attn_out = dense(dim, dtype=self.dtype, name="out_proj")(attn_out)
         x = x + attn_out
         # Pre-LN MLP with residual.
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
-        y = MlpBlock(self.mlp_dim, dim, dtype=self.dtype, name="mlp")(y)
+        y = MlpBlock(self.mlp_dim, dim, dtype=self.dtype,
+                     quantize=self.quantize, name="mlp")(y)
         return x + y
 
 
@@ -114,6 +129,11 @@ class VisionTransformer(nn.Module):
     # when the patch grid is not divisible by the window.
     attn_window: int = 0
     global_attn_indices: Sequence[int] = None
+    # '' or 'int8': route the block matmuls (qkv/out/fc1/fc2) through the
+    # int8 MXU path (2x bf16 peak on v5e) with per-channel weight and
+    # per-token activation scales.  Params stay f32 — checkpoints and TP
+    # rules unchanged.  Serving-only knob; accuracy bounds in test_quant.py.
+    quantize: str = ""
 
     @nn.compact
     def __call__(self, x):
@@ -202,6 +222,7 @@ class VisionTransformer(nn.Module):
                 valid_len=valid_len,
                 window=0 if i in global_set else window,
                 grid_hw=(n_h, n_w),
+                quantize=self.quantize,
                 name=f"block_{i}",
             )(x)
             if i in tap_set:

@@ -45,11 +45,16 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla",
     if impl == "pallas":
         import jax
 
-        from monodepth_tpu.ops.pallas.attention import fused_mha
+        from monodepth_tpu.ops.pallas.attention import fused_mha, fused_mha_short
 
-        # interpret mode on CPU so the pallas path is testable everywhere
+        interpret = jax.default_backend() == "cpu"
+        if q.shape[1] <= 1024:
+            # short sequences: whole-K/V packed-head kernel (no transposes,
+            # no HBM logits) beats the K/V-blocked flash variant
+            return fused_mha_short(q, k, v, num_heads=num_heads,
+                                   valid_len=valid_len, interpret=interpret)
         return fused_mha(q, k, v, num_heads=num_heads, valid_len=valid_len,
-                         interpret=jax.default_backend() == "cpu")
+                         interpret=interpret)
     return _mha_xla(q, k, v, num_heads, valid_len=valid_len)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mha", "fused_spatial_attention"]
+__all__ = ["fused_mha", "fused_mha_short", "fused_spatial_attention"]
 
 _NEG_BIG = -1e30  # softmax mask value: exp(-1e30 - m) underflows to exactly 0
 
@@ -90,8 +90,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_attention(q, k, v, *, scale: float, block_q: int = 256,
-                     block_k: int = 512, interpret: bool = False,
+def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
+                     block_k: int = 1024, interpret: bool = False,
                      valid_len: int = None):
     """Generic flash attention: q [G, S, Dk], k [G, S, Dk], v [G, S, Dv].
 
@@ -144,7 +144,7 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 256,
 
 
 def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
-              valid_len=None, block_q: int = 256, block_k: int = 512):
+              valid_len=None, block_q: int = 512, block_k: int = 1024):
     """Multi-head attention over [B, S, D] q/k/v (already projected).
 
     Equivalent to ops.attention._mha_xla; softmax scale 1/sqrt(head_dim).
@@ -168,8 +168,75 @@ def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
                .reshape(b, s, dim))
 
 
-def fused_spatial_attention(q, k, v, *, block_q: int = 256,
-                            block_k: int = 512, interpret: bool = False):
+def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
+                      head_dim: int, s_real: int, scale: float):
+    """Whole-sequence MHA for short sequences, several heads per program.
+
+    Refs are [1, S_pad, heads_per_block * head_dim] slices of the packed
+    [B, S_pad, D] q/k/v — the head split happens on the lane dim inside the
+    kernel, so no [B, H, S, hd] transpose ever materializes in HBM, and the
+    f32 logits/softmax live only in VMEM (the parity path's 208-token
+    attention spent ~2.3 ms/call on exactly that HBM traffic at batch 32).
+    """
+    s_pad = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), 1)
+    needs_mask = s_real < s_pad
+    for h in range(heads_per_block):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl].astype(jnp.float32) * scale
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if needs_mask:
+            s = jnp.where(col < s_real, s, _NEG_BIG)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def fused_mha_short(q, k, v, *, num_heads: int, interpret: bool = False,
+                    valid_len=None, heads_per_block: int = 2):
+    """Fused MHA for short sequences (S up to ~1024): packed-head layout.
+
+    q, k, v: [B, S, D] (already projected, heads packed on the last dim).
+    Each grid program computes `heads_per_block` full heads with the whole
+    sequence resident in VMEM — no online softmax needed, no head transpose,
+    no HBM logits.  Numerically equivalent to ops.attention._mha_xla.
+    """
+    b, s, dim = q.shape
+    hd = dim // num_heads
+    assert num_heads % heads_per_block == 0, (num_heads, heads_per_block)
+    valid_len = s if valid_len is None else valid_len
+
+    s_pad = _round_up(s, 128)
+    if s_pad != s:
+        pad = [(0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    lanes = heads_per_block * hd
+    kernel = functools.partial(
+        _short_mha_kernel, heads_per_block=heads_per_block, head_dim=hd,
+        s_real=valid_len, scale=float(1.0 / (hd ** 0.5)),
+    )
+    spec = pl.BlockSpec((1, s_pad, lanes), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, num_heads // heads_per_block),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, dim), v.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s, :]
+
+
+def fused_spatial_attention(q, k, v, *, block_q: int = 512,
+                            block_k: int = 1024, interpret: bool = False):
     """Spatial non-local attention: q, k [B, N, Cq], v [B, N, C] -> [B, N, C].
 
     out_i = sum_j softmax_j(<q_i, k_j>) v_j  (no scaling, matching the

@@ -96,7 +96,13 @@ def _resize_axis_linear(x, in_size, out_size, axis, align_corners, method):
     if in_size == out_size:
         return x
     if method == "matmul":
-        W = jnp.asarray(_linear_resize_matrix(in_size, out_size, align_corners))
+        # The resampling matrix follows the input dtype: on the bf16 serving
+        # path the f32 constant would promote the whole contraction to f32
+        # (half MXU rate); the MXU accumulates bf16 in f32 anyway, so only
+        # the two-tap weights themselves round.  The f32 parity path is
+        # bit-unchanged.
+        W = jnp.asarray(_linear_resize_matrix(in_size, out_size, align_corners)
+                        ).astype(x.dtype)
         # Contract the resized axis against W's `in` dim; MXU-friendly.
         out = jnp.tensordot(x, W, axes=[[axis], [1]])
         # tensordot appends the contraction output axis last; move it back.

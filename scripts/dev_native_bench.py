@@ -9,10 +9,13 @@ within-run comparisons only — docs/ARCHITECTURE.md).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, repeats=10, warmup=2):

@@ -30,14 +30,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, repeats=20, warmup=3):
+def timeit(fn, params, inputs, repeats=20, warmup=3):
+    """fn(params, x) with `inputs` a list of >=3 distinct staged buffers —
+    rotated so no (executable, inputs) execution caching can apply; one
+    probe fetch bounds all pipelined dispatches (bench.py protocol)."""
     out = None
-    for _ in range(warmup):
-        out = fn(*args)
+    for i in range(warmup):
+        out = fn(params, inputs[i % len(inputs)])
     np.asarray(out if not isinstance(out, tuple) else out[-1])[..., :1]
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fn(*args)
+    for i in range(repeats):
+        out = fn(params, inputs[i % len(inputs)])
     np.asarray(out if not isinstance(out, tuple) else out[-1])[..., :1]
     return (time.perf_counter() - t0) / repeats
 
@@ -58,23 +61,25 @@ def main():
     # --- 1. full model @1024 ------------------------------------------------
     model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
                           seq_pad_multiple=16)
-    x_img = jax.device_put(jnp.asarray(
+    x_imgs = [jax.device_put(jnp.asarray(
         rng.random((batch, 1024, 1024, 3), dtype=np.float32)))
-    variables = model.init(jax.random.PRNGKey(0), x_img[:1])
+        for _ in range(3)]
+    variables = model.init(jax.random.PRNGKey(0), x_imgs[0][:1])
 
     @jax.jit
     def fwd_full(v, xx):
         out = model.apply(v, xx, jnp.ones((xx.shape[0],)))[("disp", 0)]
         return out[:, ::256, ::256, 0]
 
-    dt = timeit(fwd_full, variables, x_img)
+    dt = timeit(fwd_full, variables, x_imgs)
     print(f"full model @1024 b{batch}: {dt*1e3:.2f} ms/call "
           f"= {batch/dt:.0f} img/s", flush=True)
 
     # --- token tower variants ----------------------------------------------
-    tokens = jax.device_put(jnp.asarray(
+    tokens_list = [jax.device_put(jnp.asarray(
         rng.standard_normal((batch, seq, dim)).astype(np.float32)
-    ).astype(jnp.bfloat16))
+    ).astype(jnp.bfloat16)) for _ in range(3)]
+    tokens = tokens_list[0]
 
     class Tower(nn.Module):
         attn_impl: str = "xla"
@@ -99,7 +104,7 @@ def main():
         def f(v, xx):
             return tower.apply(v, xx)[:, :1, :8]
 
-        dt = timeit(f, tvars, tokens)
+        dt = timeit(f, tvars, tokens_list)
         print(f"{name}: {dt*1e3:.2f} ms/call", flush=True)
         return dt
 
@@ -146,7 +151,7 @@ def main():
                            preferred_element_type=jnp.bfloat16)
         return x[:, :1, :8]
 
-    dt = timeit(mm_tower, mm_params, tokens)
+    dt = timeit(mm_tower, mm_params, tokens_list)
     print(f"matmul-only ceiling: {dt*1e3:.2f} ms/call "
           f"({dt/t_xla*100:.0f}% of xla tower)", flush=True)
 

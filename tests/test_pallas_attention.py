@@ -93,3 +93,31 @@ def test_full_model_with_pallas_attention(rng):
                 np.asarray(got[key]), np.asarray(want[key]),
                 atol=3e-5, rtol=1e-4, err_msg=f"{cls.__name__} {key}",
             )
+
+
+@pytest.mark.parametrize("s,valid", [(208, 197), (197, None), (128, None)])
+def test_fused_mha_short_matches_xla(rng, s, valid):
+    """Short-sequence packed-head kernel (parity path, VERDICT r1 item 2)."""
+    from monodepth_tpu.ops.pallas.attention import fused_mha_short
+
+    b, dim, heads = 2, 768, 12
+    q = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32))
+    want = np.asarray(_mha_xla(q, k, v, heads, valid_len=valid))
+    got = np.asarray(fused_mha_short(q, k, v, num_heads=heads,
+                                     valid_len=valid, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_mha_short_bf16(rng):
+    from monodepth_tpu.ops.pallas.attention import fused_mha_short
+
+    b, s, dim, heads = 1, 208, 384, 6
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, s, dim), dtype=np.float32)).astype(jnp.bfloat16)
+    q, k, v = mk(), mk(), mk()
+    want = np.asarray(_mha_xla(q, k, v, heads, valid_len=197), np.float32)
+    got = np.asarray(fused_mha_short(q, k, v, num_heads=heads, valid_len=197,
+                                     interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)

@@ -38,6 +38,11 @@ class ModelConfig:
     # outputs differ only by fp reassociation (<=2e-5, vs the 1e-3 parity
     # budget); set 1 for the bit-strict parity path.
     seq_pad_multiple: int = 16
+    # Native mode only: average-pool global-block K/V by this factor
+    # (PVT-style spatial-reduction attention) — cuts the 4096x4096 logits
+    # pool^2-fold.  A quality/speed knob for the native mode; 0 = full
+    # global attention (default).
+    attn_global_pool: int = 0
     # '' (off) or 'int8': ViT matmuls through the int8 MXU path (2x bf16
     # peak on v5e) with per-channel weight / per-token activation scales.
     # Serving-only; checkpoints are unchanged (quantization happens inside

@@ -99,6 +99,7 @@ class MarsDepthEstimator:
             native_patching=self.config.native_patching,
             seq_pad_multiple=self.config.seq_pad_multiple,
             attn_window=self.config.attn_window,
+            attn_global_pool=self.config.attn_global_pool,
             quantize=self.config.quantize,
             **kwargs,
         )

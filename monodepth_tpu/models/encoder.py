@@ -91,6 +91,8 @@ class DepthAnythingEncoder(nn.Module):
     # Native mode only: window-local attention side (patches) in non-tap
     # blocks (ViTDet recipe); 0 = global everywhere.
     attn_window: int = 0
+    # Native mode: pool global-block K/V by this factor (SRA); 0 = off.
+    attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
 
@@ -120,6 +122,8 @@ class DepthAnythingEncoder(nn.Module):
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
             attn_window=self.attn_window if self.native_patching else 0,
+            attn_global_pool=(self.attn_global_pool
+                              if self.native_patching else 0),
             quantize=self.quantize,
             name="vit",
         )

@@ -145,6 +145,8 @@ class EnhancedDepthAnything(nn.Module):
     seq_pad_multiple: int = 1
     # Native mode: ViTDet-style window-local attention (0 = global).
     attn_window: int = 0
+    # Native mode: pool global-block K/V by this factor (SRA); 0 = off.
+    attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
     # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
@@ -164,6 +166,7 @@ class EnhancedDepthAnything(nn.Module):
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
             attn_window=self.attn_window,
+            attn_global_pool=self.attn_global_pool,
             quantize=self.quantize,
             name="encoder",
         )(x, train=train)

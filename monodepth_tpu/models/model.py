@@ -91,6 +91,8 @@ class DepthAnything(nn.Module):
     seq_pad_multiple: int = 1
     # Native mode: ViTDet-style window-local attention (0 = global).
     attn_window: int = 0
+    # Native mode: pool global-block K/V by this factor (SRA); 0 = off.
+    attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
     # Perf knob: when set, only these ("disp", s) keys are resized to input
@@ -111,6 +113,7 @@ class DepthAnything(nn.Module):
             remat=self.remat,
             seq_pad_multiple=self.seq_pad_multiple,
             attn_window=self.attn_window,
+            attn_global_pool=self.attn_global_pool,
             quantize=self.quantize,
             name="encoder",
         )(x, train=train)

@@ -290,9 +290,10 @@ def multi_scale_fusion_refine(depth: np.ndarray, rgb: Optional[np.ndarray] = Non
     return DepthQualityEnhancement.edge_preserving_smoothing(depth, rgb)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
-def _batched_smooth_jit(depth, guide, radius: int, eps):
-    """Normalize + guided-filter a [B, H, W] stack in ONE device program."""
+def batched_smooth(depth, guide, radius: int, eps):
+    """Normalize + guided-filter a [B, H, W] stack (pure jnp — composable
+    inside a larger jitted program, e.g. fused with the model forward so
+    refined depth never round-trips to the host)."""
 
     def one(d, g):
         dmin = jnp.min(d)
@@ -302,6 +303,17 @@ def _batched_smooth_jit(depth, guide, radius: int, eps):
             * (dmax - dmin) + dmin
 
     return jax.vmap(one)(depth, guide)
+
+
+def luma_guide(rgb):
+    """uint8-rounded BT.601 luma guide from [..., H, W, 3] float RGB in
+    [0,1] — matches the host path's cv2.cvtColor-on-uint8 quantization."""
+    luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    return jnp.round(jnp.clip(luma, 0.0, 1.0) * 255.0) / 255.0
+
+
+_batched_smooth_jit = functools.partial(
+    jax.jit, static_argnames=("radius",))(batched_smooth)
 
 
 def multi_scale_fusion_refine_batch(depths: np.ndarray,

@@ -27,6 +27,19 @@ from monodepth_tpu.ops.attention import multi_head_attention, windowed_mha
 __all__ = ["VisionTransformer"]
 
 
+def _pool_kv_grid(x, grid_hw, pool: int):
+    """Average-pool the grid part of a [B, 1 + H*W, D] token sequence by
+    `pool` x `pool`; the CLS token passes through.  Requires H, W divisible
+    by pool (native-mode grids are)."""
+    b, s, d = x.shape
+    nh, nw = grid_hw
+    assert s == 1 + nh * nw and nh % pool == 0 and nw % pool == 0, (
+        s, grid_hw, pool)
+    grid = x[:, 1:].reshape(b, nh // pool, pool, nw // pool, pool, d)
+    pooled = grid.mean(axis=(2, 4)).reshape(b, (nh // pool) * (nw // pool), d)
+    return jnp.concatenate([x[:, :1], pooled], axis=1)
+
+
 def _dense_cls(quantize: str):
     """nn.Dense or its int8-MXU drop-in (same param names/shapes)."""
     if quantize == "int8":
@@ -64,6 +77,11 @@ class EncoderBlock(nn.Module):
     window: int = 0
     grid_hw: tuple = None
     quantize: str = ""  # '' (off) or 'int8' (quantized MXU matmuls)
+    # Native-mode global blocks only: average-pool the K/V grid tokens by
+    # this factor before attention (PVT-style spatial-reduction attention,
+    # Wang et al. 2021).  Queries stay full resolution, so the output keeps
+    # per-token detail while the S x S logits shrink by pool^2.  0/1 = off.
+    global_pool: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -77,8 +95,12 @@ class EncoderBlock(nn.Module):
             attn_out = windowed_mha(
                 q, k, v, num_heads=self.num_heads,
                 grid_hw=self.grid_hw, window=self.window,
+                impl=self.attn_impl,
             )
         else:
+            if self.global_pool and self.global_pool > 1 and self.grid_hw:
+                k = _pool_kv_grid(k, self.grid_hw, self.global_pool)
+                v = _pool_kv_grid(v, self.grid_hw, self.global_pool)
             attn_out = multi_head_attention(
                 q, k, v, num_heads=self.num_heads, impl=self.attn_impl,
                 valid_len=self.valid_len,
@@ -129,6 +151,10 @@ class VisionTransformer(nn.Module):
     # when the patch grid is not divisible by the window.
     attn_window: int = 0
     global_attn_indices: Sequence[int] = None
+    # Global blocks: average-pool K/V grid tokens by this factor (PVT-style
+    # spatial-reduction attention) — shrinks the S x S logits pool^2-fold.
+    # Only applied to unpadded grid sequences (native mode); 0 = off.
+    attn_global_pool: int = 0
     # '' or 'int8': route the block matmuls (qkv/out/fc1/fc2) through the
     # int8 MXU path (2x bf16 peak on v5e) with per-channel weight and
     # per-token activation scales.  Params stay f32 — checkpoints and TP
@@ -222,6 +248,9 @@ class VisionTransformer(nn.Module):
                 valid_len=valid_len,
                 window=0 if i in global_set else window,
                 grid_hw=(n_h, n_w),
+                global_pool=(self.attn_global_pool
+                             if valid_len is None and seq == 1 + n_h * n_w
+                             else 0),
                 quantize=self.quantize,
                 name=f"block_{i}",
             )(x)

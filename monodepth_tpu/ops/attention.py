@@ -58,7 +58,8 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla",
     return _mha_xla(q, k, v, num_heads, valid_len=valid_len)
 
 
-def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int):
+def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
+                 impl: str = "xla"):
     """Window-local MHA for native-resolution ViT blocks (quality/perf mode).
 
     ViTDet-style (Li et al. 2022, "Exploring Plain Vision Transformer
@@ -92,7 +93,19 @@ def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int):
         return (xg.transpose(0, 1, 3, 2, 4, 5)
                   .reshape(b * gh * gw, window * window, d))
 
-    ow = _mha_xla(to_windows(q), to_windows(k), to_windows(v), num_heads)
+    if impl == "pallas":
+        import jax
+
+        from monodepth_tpu.ops.pallas.attention import fused_mha_short
+
+        # packed-head short kernel per window group: measured ~5.9 ms/layer
+        # for the XLA batched-matmul form at 4096 tokens/window 16 (b8) —
+        # the [groups, W^2, D] shapes suit the whole-sequence kernel.
+        ow = fused_mha_short(to_windows(q), to_windows(k), to_windows(v),
+                             num_heads=num_heads,
+                             interpret=jax.default_backend() == "cpu")
+    else:
+        ow = _mha_xla(to_windows(q), to_windows(k), to_windows(v), num_heads)
     grid_out = (ow.reshape(b, gh, gw, window, window, d)
                   .transpose(0, 1, 3, 2, 4, 5)
                   .reshape(b, nh * nw, d))

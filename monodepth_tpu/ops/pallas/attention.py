@@ -53,13 +53,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    if scale != 1.0:
-        q = q * scale
+    # Softmax in base 2: exp(x) == exp2(x * log2(e)); folding log2(e) into
+    # the logits scale makes every softmax elementwise op an exp2 — the
+    # attention kernels are VPU-bound on exactly these ops at long sequence
+    # (measured ~11 ms/layer at 4608^2 logits, batch 8), and exp2 is the
+    # cheaper primitive.
+    q = q_ref[0].astype(jnp.float32) * (scale * 1.4426950408889634)
     k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK]
+    )  # [BQ, BK] — logits pre-scaled by log2(e)
 
     # Mask keys at/after s_real (sequence padding).  Entirely-valid blocks
     # skip the mask at trace time (kb is a grid constant per compilation?
@@ -71,8 +74,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_prev = m_scr[:, :1]                       # [BQ, 1]
     row_max = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, row_max)        # [BQ, 1]
-    p = jnp.exp(s - m_new)                      # [BQ, BK]
-    correction = jnp.exp(m_prev - m_new)        # [BQ, 1]
+    p = jnp.exp2(s - m_new)                     # [BQ, BK]
+    correction = jnp.exp2(m_prev - m_new)       # [BQ, 1]
 
     v = v_ref[0].astype(jnp.float32)
     pv = jax.lax.dot_general(
@@ -93,25 +96,33 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
                      block_k: int = 1024, interpret: bool = False,
                      valid_len: int = None):
-    """Generic flash attention: q [G, S, Dk], k [G, S, Dk], v [G, S, Dv].
+    """Generic flash attention: q [G, Sq, Dk], k [G, Sk, Dk], v [G, Sk, Dv].
 
-    Returns [G, S, Dv].  G = batch*heads (MHA) or batch (spatial).  Keys at
-    index >= valid_len are masked out of the softmax.
+    Returns [G, Sq, Dv].  G = batch*heads (MHA) or batch (spatial).  Sq and
+    Sk may differ (cross-attention / pooled-KV).  Keys at index >= valid_len
+    are masked out of the softmax.
     """
     g, s, dk = q.shape
+    sk = k.shape[1]
     dv = v.shape[-1]
     if valid_len is None:
-        valid_len = s
+        valid_len = sk
     # q rows and k/v columns pad independently to their own block multiples.
     block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+    # Whole-sequence K/V when the f32 logits block fits VMEM: num_k=1 keeps
+    # K/V resident across the q sweep and cuts grid steps ~num_k-fold
+    # (measured 14.1 -> 10.1 ms/layer at 4097 tokens, batch 8).
+    sk_full = _round_up(sk, 128)
+    if block_q * sk_full * 4 <= (9 << 20) and sk_full > block_k:
+        block_k = sk_full
     sq_pad = _round_up(s, block_q)
-    sk_pad = _round_up(s, block_k)
+    sk_pad = _round_up(sk, block_k)
     if sq_pad != s:
         q = jnp.pad(q, [(0, 0), (0, sq_pad - s), (0, 0)])
-    if sk_pad != s:
-        k = jnp.pad(k, [(0, 0), (0, sk_pad - s), (0, 0)])
-        v = jnp.pad(v, [(0, 0), (0, sk_pad - s), (0, 0)])
+    if sk_pad != sk:
+        k = jnp.pad(k, [(0, 0), (0, sk_pad - sk), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, sk_pad - sk), (0, 0)])
     num_q = sq_pad // block_q
     num_k = sk_pad // block_k
 
@@ -154,15 +165,15 @@ def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
     hd = dim // num_heads
 
     def split(x):
-        return (x.reshape(b, s, num_heads, hd)
+        return (x.reshape(b, x.shape[1], num_heads, hd)
                  .transpose(0, 2, 1, 3)
-                 .reshape(b * num_heads, s, hd))
+                 .reshape(b * num_heads, x.shape[1], hd))
 
     scale = float(1.0 / (hd ** 0.5))
     out = _flash_attention(split(q), split(k), split(v), scale=scale,
                            block_q=block_q, block_k=block_k,
                            interpret=interpret,
-                           valid_len=valid_len if valid_len is not None else s)
+                           valid_len=valid_len)
     return (out.reshape(b, num_heads, s, hd)
                .transpose(0, 2, 1, 3)
                .reshape(b, s, dim))
@@ -183,14 +194,15 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
     needs_mask = s_real < s_pad
     for h in range(heads_per_block):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl].astype(jnp.float32) * scale
+        # base-2 softmax: log2(e) folded into the query scale (see flash)
+        q = q_ref[0, :, sl].astype(jnp.float32) * (scale * 1.4426950408889634)
         k = k_ref[0, :, sl].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if needs_mask:
             s = jnp.where(col < s_real, s, _NEG_BIG)
         s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
+        p = jnp.exp2(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[0, :, sl].astype(jnp.float32)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),

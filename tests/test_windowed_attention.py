@@ -109,3 +109,70 @@ def test_window_changes_but_approximates_global(rng):
     d1 = np.asarray(m1.apply(variables, x, 1.0)[("disp", 0)])
     assert not np.array_equal(d0, d1)
     assert abs(d0.mean() - d1.mean()) < 0.25
+
+
+def test_pool_kv_grid_means_and_cls(rng):
+    from monodepth_tpu.models.vit import _pool_kv_grid
+
+    b, nh, nw, d = 2, 8, 8, 16
+    x = jnp.asarray(rng.standard_normal((b, 1 + nh * nw, d), dtype=np.float32))
+    out = np.asarray(_pool_kv_grid(x, (nh, nw), 2))
+    assert out.shape == (b, 1 + 16, d)
+    np.testing.assert_array_equal(out[:, 0], np.asarray(x)[:, 0])  # CLS kept
+    grid = np.asarray(x)[:, 1:].reshape(b, nh, nw, d)
+    np.testing.assert_allclose(out[:, 1], grid[:, :2, :2].mean((1, 2)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_global_pool_attention_matches_pooled_xla(rng):
+    """EncoderBlock(global_pool=2) == attention against hand-pooled K/V."""
+    from monodepth_tpu.models.vit import EncoderBlock, _pool_kv_grid
+    from monodepth_tpu.ops.attention import _mha_xla
+
+    b, nh, nw, d, heads = 1, 8, 8, 64, 4
+    s = 1 + nh * nw
+    x = jnp.asarray(rng.standard_normal((b, s, d), dtype=np.float32))
+    block = EncoderBlock(num_heads=heads, mlp_dim=128, grid_hw=(nh, nw),
+                         global_pool=2)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    got = np.asarray(block.apply(variables, x))
+
+    # reference: replicate the block by hand with pooled k/v
+    p = variables["params"]
+    ln1 = (x - x.mean(-1, keepdims=True)) / jnp.sqrt(
+        x.var(-1, keepdims=True) + 1e-6)
+    ln1 = ln1 * p["ln_1"]["scale"] + p["ln_1"]["bias"]
+    qkv = ln1 @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    k = _pool_kv_grid(k, (nh, nw), 2)
+    v = _pool_kv_grid(v, (nh, nw), 2)
+    attn = _mha_xla(q, k, v, heads)
+    h = x + (attn @ p["out_proj"]["kernel"] + p["out_proj"]["bias"])
+    ln2 = (h - h.mean(-1, keepdims=True)) / jnp.sqrt(
+        h.var(-1, keepdims=True) + 1e-6)
+    ln2 = ln2 * p["ln_2"]["scale"] + p["ln_2"]["bias"]
+    mlp = jax.nn.gelu(ln2 @ p["mlp"]["fc1"]["kernel"] + p["mlp"]["fc1"]["bias"],
+                      approximate=False)
+    want = np.asarray(h + (mlp @ p["mlp"]["fc2"]["kernel"]
+                           + p["mlp"]["fc2"]["bias"]))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_native_model_with_global_pool_runs(rng):
+    from monodepth_tpu.models import DepthAnything
+
+    model = DepthAnything(native_patching=True, attn_global_pool=2,
+                          seq_pad_multiple=1, output_scales=(0,))
+    x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    disp = np.asarray(model.apply(variables, x)[("disp", 0)])
+    assert disp.shape == (1, 128, 128, 1)
+    assert np.isfinite(disp).all()
+    # parity mode must be unaffected by the knob (grid pooling is gated on
+    # unpadded native sequences)
+    base = DepthAnything(output_scales=(0,))
+    bv = base.init(jax.random.PRNGKey(0), x)
+    d1 = np.asarray(base.apply(bv, x)[("disp", 0)])
+    gated = DepthAnything(output_scales=(0,), attn_global_pool=2)
+    d2 = np.asarray(gated.apply(bv, x)[("disp", 0)])
+    np.testing.assert_array_equal(d1, d2)

@@ -33,7 +33,11 @@ __all__ = [
     "TextureAwareRefinementModule",
     "MultiScaleDepthFusion",
     "DepthQualityEnhancement",
+    "guided_filter",
     "multi_scale_fusion_refine",
+    "multi_scale_fusion_refine_batch",
+    "batched_smooth",
+    "luma_guide",
 ]
 
 _SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)

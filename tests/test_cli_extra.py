@@ -155,3 +155,32 @@ def test_run_mars_depth_temporal_smooth(image_dir, tmp_path):
     a = np.load(out / "rover_a" / "rover_a_depth.npy")
     b = np.load(out / "rover_b" / "rover_b_depth.npy")
     assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
+def test_native_attn_flags_reach_model_config(monkeypatch):
+    """--attn_window/--global_pool flow into ModelConfig only with
+    --native_resolution (parity path stays untouched)."""
+    from monodepth_tpu.cli import run_mars_depth as cli
+
+    captured = {}
+
+    class _FakeEstimator:
+        def __init__(self, config, seed=0):
+            captured["config"] = config
+            raise RuntimeError("stop-after-config")
+
+    monkeypatch.setattr(cli, "MarsDepthEstimator", _FakeEstimator)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stop-after-config"):
+        cli.main(["--input", __file__, "--native_resolution",
+                  "--attn_window", "8", "--global_pool", "2"])
+    cfg = captured["config"]
+    assert cfg.native_patching and cfg.attn_window == 8
+    assert cfg.attn_global_pool == 2
+
+    with _pytest.raises(RuntimeError, match="stop-after-config"):
+        cli.main(["--input", __file__, "--global_pool", "2"])
+    cfg = captured["config"]
+    assert not cfg.native_patching
+    assert cfg.attn_window == 0 and cfg.attn_global_pool == 0

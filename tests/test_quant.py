@@ -93,3 +93,50 @@ def test_estimator_accepts_quantize_flag():
                                                       dtype=np.float32))
     assert out["disp"].shape == (64, 80)
     assert np.isfinite(out["disp"]).all()
+
+
+@pytest.mark.parametrize("transform", ["none", "ln", "gelu"])
+def test_fused_quant_matmul_matches_reference(rng, transform):
+    """Pallas fused (transform + quantize + int8 dot) kernel, interpret mode."""
+    from monodepth_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+
+    m, k, n = 416, 256, 512
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((k, n)) * 0.02).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(n) * 0.01).astype(np.float32))
+    ln_s = jnp.asarray(1 + rng.standard_normal(k).astype(np.float32) * 0.1)
+    ln_b = jnp.asarray(rng.standard_normal(k).astype(np.float32) * 0.1)
+
+    got = np.asarray(fused_quant_matmul(
+        x, *quantize_to_cols(w), b, transform=transform,
+        ln_scale=ln_s, ln_bias=ln_b, interpret=True))
+
+    xf = np.asarray(x, np.float64)
+    if transform == "ln":
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        xf = (xf - mu) / np.sqrt(var + 1e-6) * np.asarray(ln_s) + np.asarray(ln_b)
+    elif transform == "gelu":
+        from scipy.special import erf
+
+        xf = xf * 0.5 * (1 + erf(xf / np.sqrt(2)))
+    ref = xf @ np.asarray(w, np.float64) + np.asarray(b)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert float(np.median(rel)) < 0.03
+    assert float(np.mean(rel)) < 0.08
+
+
+def quantize_to_cols(w):
+    q, scale = quantize_symmetric(w, axis=0)
+    return q, scale.reshape(-1)
+
+
+def test_fused_quant_matmul_odd_m_padding(rng):
+    from monodepth_tpu.ops.pallas.quant_matmul import fused_quant_matmul
+
+    x = jnp.asarray(rng.standard_normal((397, 256)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((256, 512)) * 0.02).astype(np.float32))
+    b = jnp.zeros((512,), jnp.float32)
+    out = fused_quant_matmul(x, *quantize_to_cols(w), b, interpret=True)
+    assert out.shape == (397, 512)
+    assert np.isfinite(np.asarray(out)).all()

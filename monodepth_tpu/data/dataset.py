@@ -243,31 +243,55 @@ class NumpyLoader:
             yield self._collate(items)
         self._epoch += 1
 
+    def _get_pool(self):
+        """Lazily-created PERSISTENT worker pool: forking a JAX-loaded
+        process costs ~0.5 s per worker, so a per-epoch pool capped short
+        training epochs at ~30 img/s; reused across epochs the decode rate
+        is bounded by PIL throughput only."""
+        if getattr(self, "_pool", None) is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers, initializer=_pool_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        """Terminate the worker pool (idempotent)."""
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            self._pool = None
+            pool.terminate()
+            pool.join()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _iter_multiprocess(self):
-        import multiprocessing as mp
         from collections import deque
 
-        ctx = mp.get_context("fork")
         epoch = self._epoch
         batches = list(self._index_batches())
         self._epoch += 1
-        with ctx.Pool(self.num_workers, initializer=_pool_init,
-                      initargs=(self.dataset,)) as pool:
-            pending: deque = deque()
-            depth = max(self.prefetch, 1)
+        pool = self._get_pool()
+        pending: deque = deque()
+        depth = max(self.prefetch, 1)
 
-            def submit(j):
-                positions, idx = batches[j]
-                args = [(int(i), self._item_seed(p, epoch))
-                        for p, i in zip(positions, idx)]
-                pending.append(pool.map_async(_pool_get, args))
+        def submit(j):
+            positions, idx = batches[j]
+            args = [(int(i), self._item_seed(p, epoch))
+                    for p, i in zip(positions, idx)]
+            pending.append(pool.map_async(_pool_get, args))
 
-            for j in range(min(depth, len(batches))):
-                submit(j)
-            for j in range(len(batches)):
-                if j + depth < len(batches):
-                    submit(j + depth)
-                yield self._collate(pending.popleft().get())
+        for j in range(min(depth, len(batches))):
+            submit(j)
+        for j in range(len(batches)):
+            if j + depth < len(batches):
+                submit(j + depth)
+            yield self._collate(pending.popleft().get())
 
     def __iter__(self):
         if self.num_workers > 0:

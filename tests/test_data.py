@@ -135,3 +135,60 @@ def test_get_mars_dataloaders_source_type(data_root):
     for b in tr2:
         sources2.update(m["source"] for m in b["metadata"])
     assert sources2 == {"rover", "satellite"}
+
+
+def test_loader_sustains_training_device_rate(tmp_path_factory):
+    """VERDICT r1 item 7 acceptance: the decode pipeline must sustain the
+    training device's consumption at the reference shape (384x512, batch 8)
+    — measured 10.9 steps/s x 8 = ~87 img/s on the real chip
+    (BENCH_CONFIGS.json config 5).
+
+    CI caveat: this sandbox has a single CPU core (nproc=1), so a live
+    4-worker pool cannot demonstrate parallel speedup here.  The test
+    therefore asserts (a) the measured per-item decode+augment cost times
+    the default 4 workers clears the device rate — the quantity that holds
+    on any >=4-core TPU host VM — and (b) the true pooled rate whenever
+    the box actually has >=4 cores."""
+    import os
+    import time
+
+    root = tmp_path_factory.mktemp("mars_tp")
+    rng = np.random.default_rng(1)
+    d = root / "rover" / "train"
+    d.mkdir(parents=True)
+    for i in range(24):
+        arr = (rng.random((384, 512, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+
+    ds = MarsImageDataset(str(root), split="train", height=384, width=512,
+                          sources=("rover",))
+    device_rate = 87.0  # img/s, config-5 capture
+
+    # (a) per-item cost -> 4-worker extrapolation
+    g = np.random.default_rng(0)
+    for i in range(4):  # warm caches
+        ds.get(i, rng=g)
+    t0 = time.perf_counter()
+    n = 24
+    for i in range(n):
+        ds.get(i % len(ds), rng=g)
+    serial_rate = n / (time.perf_counter() - t0)
+    assert 4 * serial_rate > device_rate, (
+        f"4 workers x {serial_rate:.1f} img/s/core cannot sustain "
+        f"{device_rate} img/s")
+
+    # (b) live pooled measurement where the hardware allows it
+    if (os.cpu_count() or 1) >= 4:
+        loader = NumpyLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                             num_workers=4, seed=0)
+        for _ in loader:
+            pass  # warm the persistent pool
+        t0 = time.perf_counter()
+        n_imgs = 0
+        for _ in range(3):
+            for batch in loader:
+                n_imgs += batch["image"].shape[0]
+        rate = n_imgs / (time.perf_counter() - t0)
+        loader.close()
+        assert rate > device_rate, (
+            f"pooled loader {rate:.1f} img/s < device {device_rate} img/s")

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from monodepth_tpu.layers import disp_to_depth
 from monodepth_tpu.models.decoder import DepthAnythingDecoder
 from monodepth_tpu.models.encoder import NUM_CH_ENC, DepthAnythingEncoder
-from monodepth_tpu.models.model import _broadcast_scale, pad_to_multiple_of_16
+from monodepth_tpu.models.model import (_broadcast_scale,
+                                         pad_to_multiple_of_16,
+                                         resize_for_native_grid)
 from monodepth_tpu.ops.attention import spatial_self_attention
 from monodepth_tpu.ops.resize import resize_bilinear
 
@@ -157,7 +159,10 @@ class EnhancedDepthAnything(nn.Module):
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
         original_size = x.shape[1:3]
-        x = pad_to_multiple_of_16(x)
+        if self.native_patching and self.attn_window:
+            x = resize_for_native_grid(x, self.attn_window)
+        else:
+            x = pad_to_multiple_of_16(x)
 
         encoder_features = DepthAnythingEncoder(
             native_patching=self.native_patching,

@@ -22,7 +22,8 @@ from monodepth_tpu.models.decoder import DepthAnythingDecoder
 from monodepth_tpu.models.encoder import NUM_CH_ENC, DepthAnythingEncoder
 from monodepth_tpu.ops.resize import resize_bilinear
 
-__all__ = ["DepthAnything", "disp_scale_factor", "pad_to_multiple_of_16"]
+__all__ = ["DepthAnything", "disp_scale_factor", "pad_to_multiple_of_16",
+           "resize_for_native_grid"]
 
 
 def disp_scale_factor(metadata: Optional[Mapping]) -> float:
@@ -58,6 +59,26 @@ def pad_to_multiple_of_16(x):
     if h % 16 != 0 or w % 16 != 0:
         new_h = (h // 16 + 1) * 16
         new_w = (w // 16 + 1) * 16
+        x = resize_bilinear(x, (new_h, new_w), align_corners=False)
+    return x
+
+
+def resize_for_native_grid(x, window: int):
+    """Native+windowed mode: bilinear-resize to the nearest size whose
+    patch grid is divisible by `window` (granularity 16*window px, min one
+    window).  Without this, any non-divisible input silently fell back to
+    global attention (~2x slower at 1024px); resizing — the reference's own
+    /16 mechanism, just coarser — keeps the ViTDet window path engaged for
+    arbitrary aspect ratios at a bounded (<=window/2 patches) scale change.
+    """
+    h, w = x.shape[1], x.shape[2]
+    gran = 16 * window
+
+    def snap(d):
+        return max(gran, int(round(d / gran)) * gran)
+
+    new_h, new_w = snap(h), snap(w)
+    if (new_h, new_w) != (h, w):
         x = resize_bilinear(x, (new_h, new_w), align_corners=False)
     return x
 
@@ -104,7 +125,10 @@ class DepthAnything(nn.Module):
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
         original_size = x.shape[1:3]
-        x = pad_to_multiple_of_16(x)
+        if self.native_patching and self.attn_window:
+            x = resize_for_native_grid(x, self.attn_window)
+        else:
+            x = pad_to_multiple_of_16(x)
 
         features = DepthAnythingEncoder(
             native_patching=self.native_patching,

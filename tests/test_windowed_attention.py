@@ -82,17 +82,31 @@ def test_native_model_with_window_runs(rng):
     assert (disp >= 0).all() and (disp <= 1).all()
 
 
-def test_window_fallback_to_global_when_not_divisible(rng):
-    """Non-divisible grid: attn_window must fall back to global attention
-    and produce bit-identical outputs to attn_window=0."""
+def test_window_nondivisible_input_resizes_to_keep_window_path(rng):
+    """Model level: a non-window-divisible input is RESIZED to the nearest
+    window grid (resize_for_native_grid) so the window path stays engaged —
+    the silent global fallback only remains at the raw ViT level."""
     from monodepth_tpu.models import DepthAnything
+    from monodepth_tpu.models.vit import VisionTransformer
 
     x = jnp.asarray(rng.random((1, 48, 80, 3), dtype=np.float32))  # 3x5 grid
-    m0 = DepthAnything(native_patching=True, attn_window=0, output_scales=(0,))
     m1 = DepthAnything(native_patching=True, attn_window=2, output_scales=(0,))
-    variables = m0.init(jax.random.PRNGKey(0), x)
-    want = np.asarray(m0.apply(variables, x, 1.0)[("disp", 0)])
+    variables = m1.init(jax.random.PRNGKey(0), x)
     got = np.asarray(m1.apply(variables, x, 1.0)[("disp", 0)])
+    assert got.shape == (1, 48, 80, 1)  # output contract: original size
+    assert np.isfinite(got).all()
+
+    # raw ViT fallback: non-divisible grid -> identical to global attention
+    vit_g = VisionTransformer(num_layers=2, num_heads=4, hidden_dim=64,
+                              mlp_dim=128, tap_indices=(1,), attn_window=0,
+                              global_attn_indices=())
+    vit_w = VisionTransformer(num_layers=2, num_heads=4, hidden_dim=64,
+                              mlp_dim=128, tap_indices=(1,), attn_window=2,
+                              global_attn_indices=())
+    xv = jnp.asarray(rng.random((1, 48, 80, 3), dtype=np.float32))
+    vv = vit_g.init(jax.random.PRNGKey(1), xv)
+    want = np.asarray(vit_g.apply(vv, xv)[0])
+    got = np.asarray(vit_w.apply(vv, xv)[0])
     np.testing.assert_array_equal(got, want)
 
 
@@ -176,3 +190,29 @@ def test_native_model_with_global_pool_runs(rng):
     gated = DepthAnything(output_scales=(0,), attn_global_pool=2)
     d2 = np.asarray(gated.apply(bv, x)[("disp", 0)])
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_resize_for_native_grid_snaps_to_window_granularity():
+    from monodepth_tpu.models.model import resize_for_native_grid
+
+    x = jnp.zeros((1, 528, 1000, 3))
+    out = resize_for_native_grid(x, 16)
+    assert out.shape == (1, 512, 1024, 3)  # nearest multiples of 256
+    tiny = resize_for_native_grid(jnp.zeros((1, 100, 90, 3)), 16)
+    assert tiny.shape == (1, 256, 256, 3)  # min one window
+    exact = resize_for_native_grid(jnp.zeros((1, 512, 768, 3)), 16)
+    assert exact.shape == (1, 512, 768, 3)  # no-op when already divisible
+
+
+def test_native_windowed_model_odd_size_keeps_window_path(rng):
+    """A non-window-divisible input must resize (not silently fall back to
+    global attention) and return the ORIGINAL size output."""
+    from monodepth_tpu.models import DepthAnything
+
+    model = DepthAnything(native_patching=True, attn_window=4,
+                          seq_pad_multiple=1, output_scales=(0,))
+    x = jnp.asarray(rng.random((1, 100, 150, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    disp = np.asarray(model.apply(variables, x)[("disp", 0)])
+    assert disp.shape == (1, 100, 150, 1)
+    assert np.isfinite(disp).all()

@@ -48,11 +48,12 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla",
         from monodepth_tpu.ops.pallas.attention import fused_mha, fused_mha_short
 
         interpret = jax.default_backend() == "cpu"
-        if q.shape[1] <= 1024:
-            # short sequences: whole-K/V packed-head kernel (no transposes,
-            # no HBM logits) beats the K/V-blocked flash variant
+        if q.shape[1] <= 1024 and q.shape[1] == k.shape[1]:
+            # short equal-length sequences: whole-K/V packed-head kernel (no
+            # transposes, no HBM logits) beats the K/V-blocked flash variant
             return fused_mha_short(q, k, v, num_heads=num_heads,
                                    valid_len=valid_len, interpret=interpret)
+        # flash handles Sq != Sk (pooled-KV / cross-attention)
         return fused_mha(q, k, v, num_heads=num_heads, valid_len=valid_len,
                          interpret=interpret)
     return _mha_xla(q, k, v, num_heads, valid_len=valid_len)

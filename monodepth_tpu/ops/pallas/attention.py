@@ -222,6 +222,9 @@ def fused_mha_short(q, k, v, *, num_heads: int, interpret: bool = False,
     b, s, dim = q.shape
     hd = dim // num_heads
     assert num_heads % heads_per_block == 0, (num_heads, heads_per_block)
+    assert k.shape[1] == s and v.shape[1] == s, (
+        f"fused_mha_short requires equal q/k/v lengths, got q {s}, "
+        f"k {k.shape[1]} (use fused_mha for cross-attention)")
     valid_len = s if valid_len is None else valid_len
 
     s_pad = _round_up(s, 128)

@@ -121,3 +121,36 @@ def test_fused_mha_short_bf16(rng):
     got = np.asarray(fused_mha_short(q, k, v, num_heads=heads, valid_len=197,
                                      interpret=True), np.float32)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_pallas_impl_pooled_kv_cross_length(rng):
+    """SRA-pooled K/V (Sq != Sk) through impl='pallas' must route to the
+    flash kernel and match XLA — the short kernel mis-sliced unequal
+    lengths (produced NaNs on the real chip before the guard)."""
+    from monodepth_tpu.ops.attention import multi_head_attention
+
+    b, sq, sk, dim, heads = 1, 513, 129, 768, 12
+    q = jnp.asarray(rng.standard_normal((b, sq, dim), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, sk, dim), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, sk, dim), dtype=np.float32))
+    want = np.asarray(_mha_xla(q, k, v, heads))
+    got = np.asarray(multi_head_attention(q, k, v, num_heads=heads,
+                                          impl="pallas"))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_native_sra_pallas_model_finite(rng):
+    """Full model: native + window + SRA + pallas impl (the exact config
+    that NaN'd on the TPU) stays finite."""
+    from monodepth_tpu.models import DepthAnything
+
+    model = DepthAnything(native_patching=True, attn_window=4,
+                          attn_global_pool=2, attn_impl="pallas",
+                          dtype=jnp.bfloat16, seq_pad_multiple=1,
+                          output_scales=(0,))
+    x = jnp.asarray(rng.random((1, 128, 192, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    disp = np.asarray(model.apply(variables, x)[("disp", 0)], np.float32)
+    assert disp.shape == (1, 128, 192, 1)
+    assert np.isfinite(disp).all()

@@ -30,8 +30,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    import jax
-
     from monodepth_tpu.config import ModelConfig
     from monodepth_tpu.inference import MarsDepthEstimator, load_image
     from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator

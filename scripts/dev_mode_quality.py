@@ -47,7 +47,7 @@ def main():
     modes = {
         "parity_224": ModelConfig(pretrained=False, dtype="bfloat16"),
         "native_global": ModelConfig(pretrained=False, dtype="bfloat16",
-                                     native_patching=True,
+                                     native_patching=True, attn_window=0,
                                      seq_pad_multiple=1),
         "native_win16": ModelConfig(pretrained=False, dtype="bfloat16",
                                     native_patching=True, attn_window=16,

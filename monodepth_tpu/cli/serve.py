@@ -1,0 +1,159 @@
+"""HTTP depth-estimation server (stdlib-only, micro-batched).
+
+A production-serving front-end the reference lacks entirely: concurrent
+clients POST images, the service coalesces them into device batches
+(monodepth_tpu.serve.MicroBatcher), and throughput approaches the batched
+bench numbers instead of the single-image rate.
+
+Endpoints:
+  GET  /healthz          -> {"status": "ok", "model": ...}
+  GET  /stats            -> request/batch counters
+  POST /predict          -> raw float32 depth map bytes (C-order) with
+                            shape in the X-Depth-Shape header.
+       body: PNG/JPEG image bytes
+       query params: source=auto|rover|ingenuity|satellite,
+                     max_size=<int> (LANCZOS downscale bound, default 1024),
+                     output=depth|disp (default depth)
+
+Usage:
+  python -m monodepth_tpu.cli.serve --port 8500 --dtype bfloat16 \
+      [--enhanced_model] [--native_resolution] [--max_batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from monodepth_tpu.config import ModelConfig
+from monodepth_tpu.inference import MarsDepthEstimator
+from monodepth_tpu.serve import DepthService
+
+__all__ = ["make_server", "main"]
+
+
+def _decode_image(data: bytes, max_size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    if max_size and max(img.size) > max_size:
+        scale = max_size / max(img.size)
+        img = img.resize((int(img.size[0] * scale), int(img.size[1] * scale)),
+                         Image.LANCZOS)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def make_server(service: DepthService, host: str = "127.0.0.1",
+                port: int = 8500, model_desc: str = "standard"):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"status": "ok", "model": model_desc})
+            elif path == "/stats":
+                self._json(200, service.stats())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/predict":
+                self._json(404, {"error": f"unknown path {parsed.path}"})
+                return
+            qs = parse_qs(parsed.query)
+            source = qs.get("source", ["auto"])[0]
+            max_size = int(qs.get("max_size", ["1024"])[0])
+            output = qs.get("output", ["depth"])[0]
+            if output not in ("depth", "disp"):
+                self._json(400, {"error": f"bad output {output!r}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body"})
+                return
+            try:
+                image = _decode_image(self.rfile.read(length), max_size)
+            except Exception as e:
+                self._json(400, {"error": f"bad image: {e}"})
+                return
+            metadata = None if source == "auto" else {"source": source}
+            try:
+                result = service.predict(image, metadata, timeout=120)
+            except Exception as e:  # pragma: no cover - device failures
+                self._json(500, {"error": str(e)})
+                return
+            arr = np.ascontiguousarray(result[output], dtype=np.float32)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Depth-Shape",
+                             ",".join(map(str, arr.shape)))
+            self.send_header("X-Depth-Dtype", "float32")
+            self.send_header("Content-Length", str(arr.nbytes))
+            self.end_headers()
+            self.wfile.write(arr.tobytes())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Mars depth HTTP server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--enhanced_model", action="store_true")
+    p.add_argument("--native_resolution", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    config = ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
+                         checkpoint=args.checkpoint,
+                         native_patching=args.native_resolution)
+    estimator = MarsDepthEstimator(config)
+    service = DepthService(estimator, max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms)
+    desc = ("enhanced" if args.enhanced_model else "standard") + \
+        ("/native" if args.native_resolution else "") + f"/{args.dtype}"
+    server = make_server(service, args.host, args.port, model_desc=desc)
+    print(f"Serving {desc} on http://{args.host}:{args.port} "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+    finally:
+        service.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
+
+
+def serve_in_thread(service: DepthService, host: str = "127.0.0.1",
+                    port: int = 0, model_desc: str = "test"):
+    """Start the server on a background thread (tests); returns
+    (server, actual_port)."""
+    server = make_server(service, host, port, model_desc=model_desc)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]

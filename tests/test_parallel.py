@@ -90,3 +90,24 @@ def test_dryrun_multichip_four_devices():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_sharded_enhanced_forward_matches_single_device(rng):
+    """TP+DP GSPMD correctness for the ENHANCED model: the Megatron rules
+    cover the ViT projections; the enhanced-only modules (spatial
+    attention convs, uncertainty, refinement, fusion) stay replicated and
+    must still produce identical outputs under the mesh."""
+    from monodepth_tpu.models import EnhancedDepthAnything
+
+    model = EnhancedDepthAnything(light_outputs=True)
+    x = jnp.asarray(rng.random((4, 48, 64, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    want = np.asarray(model.apply(variables, x, 1.0)[("disp", 0)])
+
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    with mesh:
+        placed = shard_params(variables, mesh)
+        xs = shard_batch(x, mesh)
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, 1.0)[("disp", 0)])
+        got = np.asarray(fwd(placed, xs))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -1,0 +1,144 @@
+"""Micro-batching inference service + HTTP front-end (monodepth_tpu.serve).
+
+The production-serving layer the reference lacks: concurrent requests must
+coalesce into device batches (shape-bucketed), results must equal direct
+predict_batch, and the HTTP server must round-trip real image bytes.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from monodepth_tpu.serve import DepthService, MicroBatcher
+
+
+class _RecordingBackend:
+    """predict_batch stand-in: records batch sizes, returns disp=mean."""
+
+    def __init__(self):
+        self.batch_sizes = []
+        self.lock = threading.Lock()
+
+    def predict_batch(self, images, metadatas=None):
+        with self.lock:
+            self.batch_sizes.append(len(images))
+        disp = images.mean(axis=(1, 2, 3))
+        return {
+            "disp": disp[:, None, None] * np.ones(images.shape[1:3]),
+            "depth": 1.0 / np.clip(disp[:, None, None], 1e-6, None)
+            * np.ones(images.shape[1:3]),
+        }
+
+
+def test_microbatcher_coalesces_concurrent_requests(rng):
+    backend = _RecordingBackend()
+    mb = MicroBatcher(backend.predict_batch, max_batch=8, max_wait_ms=50)
+    try:
+        images = [rng.random((16, 20, 3), dtype=np.float32) for _ in range(8)]
+        futures = [mb.submit(img) for img in images]
+        results = [f.result(timeout=10) for f in futures]
+        for img, res in zip(images, results):
+            np.testing.assert_allclose(res["disp"][0, 0], img.mean(),
+                                       rtol=1e-5)
+        assert mb.served == 8
+        # concurrency: strictly fewer batches than requests
+        assert mb.batches < 8
+        assert max(backend.batch_sizes) > 1
+    finally:
+        mb.close()
+
+
+def test_microbatcher_shape_buckets_dont_mix(rng):
+    backend = _RecordingBackend()
+    mb = MicroBatcher(backend.predict_batch, max_batch=8, max_wait_ms=30)
+    try:
+        small = [rng.random((8, 8, 3), dtype=np.float32) for _ in range(3)]
+        large = [rng.random((16, 8, 3), dtype=np.float32) for _ in range(3)]
+        futures = [mb.submit(img) for pair in zip(small, large) for img in pair]
+        for f in futures:
+            f.result(timeout=10)
+        assert mb.served == 6  # every request answered despite mixed shapes
+    finally:
+        mb.close()
+
+
+def test_microbatcher_results_match_direct_call(rng):
+    backend = _RecordingBackend()
+    mb = MicroBatcher(backend.predict_batch, max_batch=4, max_wait_ms=1)
+    try:
+        img = rng.random((12, 10, 3), dtype=np.float32)
+        got = mb.predict(img, timeout=10)
+        want = backend.predict_batch(img[None])
+        np.testing.assert_allclose(got["disp"], want["disp"][0])
+        np.testing.assert_allclose(got["depth"], want["depth"][0])
+    finally:
+        mb.close()
+
+
+def test_microbatcher_closed_rejects():
+    backend = _RecordingBackend()
+    mb = MicroBatcher(backend.predict_batch)
+    mb.close()
+    with pytest.raises(RuntimeError):
+        mb.submit(np.zeros((4, 4, 3), np.float32))
+
+
+@pytest.fixture(scope="module")
+def http_service():
+    """Real estimator (tiny inputs) behind the HTTP server on a free port."""
+    from monodepth_tpu.cli.serve import serve_in_thread
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    estimator = MarsDepthEstimator(ModelConfig(pretrained=False))
+    service = DepthService(estimator, max_batch=4, max_wait_ms=5)
+    server, port = serve_in_thread(service)
+    yield service, port
+    server.shutdown()
+    service.close()
+
+
+def _png_bytes(rng, h=48, w=64):
+    from PIL import Image
+
+    arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_http_healthz_and_stats(http_service):
+    _, port = http_service
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+        stats = json.loads(r.read())
+    assert {"served", "batches", "mean_batch_size"} <= set(stats)
+
+
+def test_http_predict_roundtrip(http_service, rng):
+    _, port = http_service
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict?source=rover&output=depth",
+        data=_png_bytes(rng), method="POST",
+        headers={"Content-Type": "image/png"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        shape = tuple(int(s) for s in
+                      r.headers["X-Depth-Shape"].split(","))
+        depth = np.frombuffer(r.read(), np.float32).reshape(shape)
+    assert shape == (48, 64)
+    assert np.isfinite(depth).all() and (depth > 0).all()
+
+
+def test_http_predict_bad_body(http_service):
+    _, port = http_service
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=b"not an image",
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=60)
+    assert exc_info.value.code == 400

@@ -55,6 +55,10 @@ def parse_args(argv=None):
                              "reference, SURVEY.md §2.4)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="Optional checkpoint (.pth reference format or Orbax dir)")
+    parser.add_argument("--quantize", type=str, default="",
+                        choices=["", "int8"],
+                        help="int8: quantized-MXU ViT matmuls (serving "
+                             "accuracy knob; see docs/PERF_STUDY.md)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--temporal_smooth", type=int, default=0, metavar="W",
@@ -304,6 +308,7 @@ def main(argv=None):
         native_patching=args.native_resolution,
         attn_window=args.attn_window if args.native_resolution else 0,
         attn_global_pool=args.global_pool if args.native_resolution else 0,
+        quantize=args.quantize,
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")

@@ -121,18 +121,24 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: ViT matmuls on the quantized MXU path "
+                        "(accuracy bounds: tests/test_quant.py; real-asset "
+                        "agreement r=0.986 vs bf16, docs/PERF_STUDY.md)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     args = p.parse_args(argv)
 
     config = ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
                          checkpoint=args.checkpoint,
-                         native_patching=args.native_resolution)
+                         native_patching=args.native_resolution,
+                         quantize=args.quantize)
     estimator = MarsDepthEstimator(config)
     service = DepthService(estimator, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms)
     desc = ("enhanced" if args.enhanced_model else "standard") + \
-        ("/native" if args.native_resolution else "") + f"/{args.dtype}"
+        ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
+        ("/int8" if args.quantize else "")
     server = make_server(service, args.host, args.port, model_desc=desc)
     print(f"Serving {desc} on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")

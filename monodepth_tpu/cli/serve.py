@@ -127,6 +127,11 @@ def main(argv=None) -> int:
                         "agreement r=0.986 vs bf16, docs/PERF_STUDY.md)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--warmup", default="",
+                   help="comma-separated HxW shapes to pre-compile at "
+                        "startup (e.g. '288x512,512x512') so the first "
+                        "request per shape does not pay the ~60-90 s "
+                        "remote compile")
     args = p.parse_args(argv)
 
     config = ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
@@ -136,6 +141,12 @@ def main(argv=None) -> int:
     estimator = MarsDepthEstimator(config)
     service = DepthService(estimator, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms)
+    for shape in filter(None, args.warmup.split(",")):
+        h, w = (int(d) for d in shape.lower().split("x"))
+        print(f"warmup {h}x{w} ...", flush=True)
+        estimator.predict_batch(
+            np.zeros((args.max_batch, h, w, 3), np.float32))
+        estimator.predict(np.zeros((h, w, 3), np.float32))
     desc = ("enhanced" if args.enhanced_model else "standard") + \
         ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
         ("/int8" if args.quantize else "")

@@ -142,3 +142,33 @@ def test_http_predict_bad_body(http_service):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(req, timeout=60)
     assert exc_info.value.code == 400
+
+
+def test_serve_main_warmup_parses_and_precompiles(monkeypatch, capsys):
+    """--warmup pre-compiles the listed shapes before serving starts."""
+    import monodepth_tpu.cli.serve as serve_cli
+
+    calls = []
+
+    class _FakeEstimator:
+        def __init__(self, config, seed=0):
+            pass
+
+        def predict_batch(self, images, metadatas=None):
+            calls.append(("batch", images.shape))
+            return {"disp": np.zeros(images.shape[:3], np.float32)}
+
+        def predict(self, image, metadata=None):
+            calls.append(("single", image.shape))
+            return {"disp": np.zeros(image.shape[:2], np.float32)}
+
+    class _StopServer:
+        def __init__(self, *a, **k):
+            raise KeyboardInterrupt  # abort before serve_forever
+
+    monkeypatch.setattr(serve_cli, "MarsDepthEstimator", _FakeEstimator)
+    monkeypatch.setattr(serve_cli, "make_server", _StopServer)
+    with pytest.raises(KeyboardInterrupt):
+        serve_cli.main(["--warmup", "32x48,16x16", "--max_batch", "4"])
+    assert ("batch", (4, 32, 48, 3)) in calls
+    assert ("single", (16, 16, 3)) in calls

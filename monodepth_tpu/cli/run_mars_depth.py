@@ -14,8 +14,9 @@ TPU-native differences: inference is jitted with on-device preprocessing and
 can batch images of a common bucket shape (`--batch_size`); `--benchmark`
 timing brackets the host fetch of the results — a true data dependency on
 device compute (vs the reference's unsynchronized wall clock).  Extra
-flags beyond the reference: --native_resolution, --depth_video,
---temporal_smooth, --checkpoint, --dtype.
+flags beyond the reference: --native_resolution (with --attn_window /
+--global_pool attention structure), --depth_video, --temporal_smooth,
+--checkpoint, --dtype, --quantize.
 """
 
 from __future__ import annotations

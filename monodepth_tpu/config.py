@@ -22,9 +22,10 @@ class ModelConfig:
     pretrained: bool = True
     checkpoint: Optional[str] = None          # reference .pth or orbax dir
     dtype: str = "float32"                    # 'float32' | 'bfloat16'
-    # 'auto' picks the fused Pallas kernel for native_patching (3.9x faster
-    # than XLA at 4096 tokens on v5e) and XLA for the 197-token parity path
-    # (where XLA's fused attention wins); 'xla' / 'pallas' force one.
+    # 'auto' picks the fused Pallas kernels for native_patching (flash /
+    # windowed / SRA; see docs/PERF_STUDY.md) and XLA for the 197-token
+    # parity path (where XLA's fused attention wins in-tower); 'xla' /
+    # 'pallas' force one.
     attn_impl: str = "auto"
     native_patching: bool = False
     # Native mode only: ViTDet-style window-local attention side (in

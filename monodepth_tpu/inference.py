@@ -87,8 +87,9 @@ class MarsDepthEstimator:
         cls = EnhancedDepthAnything if self.config.enhanced else DepthAnything
         attn_impl = self.config.attn_impl
         if attn_impl == "auto":
-            # measured on v5e: XLA wins at the parity path's 197 tokens,
-            # the fused Pallas kernel wins 3.9x at native-res 4096 tokens
+            # measured on v5e: XLA wins in-tower at the parity path's
+            # 197-208 tokens; the fused Pallas kernels (flash/windowed/SRA)
+            # win at native-resolution 4096 tokens (docs/PERF_STUDY.md)
             attn_impl = "pallas" if self.config.native_patching else "xla"
         kwargs = {}
         if self.config.enhanced:

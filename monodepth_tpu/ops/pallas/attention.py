@@ -237,6 +237,10 @@ def fused_mha_short(q, k, v, *, num_heads: int, interpret: bool = False,
         _short_mha_kernel, heads_per_block=heads_per_block, head_dim=hd,
         s_real=valid_len, scale=float(1.0 / (hd ** 0.5)),
     )
+    # NOTE: a batched-head variant (one 3-D dot_general over [hpb, S, hd]
+    # instead of the per-head loop) was correct in interpret mode but does
+    # not compile under this Mosaic version (in-kernel non-minor transpose);
+    # the per-head loop stands.
     spec = pl.BlockSpec((1, s_pad, lanes), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(

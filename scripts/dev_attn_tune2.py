@@ -73,3 +73,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

@@ -80,12 +80,20 @@ def parse_args(argv=None):
                         help="Native mode: ViTDet window-local attention side "
                              "in patches for non-tap blocks (tap blocks stay "
                              "global); 0 = global attention everywhere "
-                             "(round-1 behavior, ~2x slower). Default 16.")
+                             "(round-1 behavior, ~2x slower). Default 16. "
+                             "NOTE: quality equivalence vs global attention "
+                             "is validated under RANDOM weights only (no "
+                             "pretrained ViT in this environment); run "
+                             "scripts/validate_real_weights.py when a "
+                             "checkpoint lands.")
     parser.add_argument("--global_pool", type=int, default=0, metavar="P",
                         help="Native mode: average-pool global-block K/V by "
                              "PxP (PVT-style spatial-reduction attention) — "
-                             "measured +13%% throughput at P=2 with bounded "
-                             "quality cost; 0 = full global (default)")
+                             "measured +13%% throughput at P=2; 0 = full "
+                             "global (default). Quality cost assessed under "
+                             "RANDOM weights only; re-validate with "
+                             "scripts/validate_real_weights.py on real "
+                             "weights.")
     return parser.parse_args(argv)
 
 

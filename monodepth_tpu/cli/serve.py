@@ -141,12 +141,15 @@ def main(argv=None) -> int:
     estimator = MarsDepthEstimator(config)
     service = DepthService(estimator, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms)
+    from monodepth_tpu.serve import bucket_sizes
+
     for shape in filter(None, args.warmup.split(",")):
         h, w = (int(d) for d in shape.lower().split("x"))
-        print(f"warmup {h}x{w} ...", flush=True)
-        estimator.predict_batch(
-            np.zeros((args.max_batch, h, w, 3), np.float32))
-        estimator.predict(np.zeros((h, w, 3), np.float32))
+        # warm every bucket the MicroBatcher can pad to — it only ever sends
+        # these sizes to the device, so no live request pays a cold compile
+        for b in reversed(bucket_sizes(args.max_batch)):
+            print(f"warmup {h}x{w} batch {b} ...", flush=True)
+            estimator.predict_batch(np.zeros((b, h, w, 3), np.float32))
     desc = ("enhanced" if args.enhanced_model else "standard") + \
         ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
         ("/int8" if args.quantize else "")

@@ -40,6 +40,38 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 _EXTS = (".png", ".jpg", ".jpeg")
 
 
+def hue_shift(img: np.ndarray, shift: float) -> np.ndarray:
+    """Rotate hue of an [H, W, 3] image in [0, 1] by `shift` (fraction of the
+    color circle, torchvision ColorJitter(hue=...) semantics: RGB -> HSV,
+    h += shift mod 1, HSV -> RGB).  Vectorized colorsys."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = img.max(axis=-1)
+    minc = img.min(axis=-1)
+    v = maxc
+    c = maxc - minc
+    s = np.where(maxc > 0, c / np.where(maxc == 0, 1.0, maxc), 0.0)
+    safe_c = np.where(c == 0, 1.0, c)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    h = np.where(
+        maxc == r, bc - gc,
+        np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(c == 0, 0.0, (h / 6.0) % 1.0)
+    h = (h + shift) % 1.0
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    out = np.empty_like(img)
+    out[..., 0] = np.choose(i, [v, q, p, p, t, v])
+    out[..., 1] = np.choose(i, [t, v, v, q, p, p])
+    out[..., 2] = np.choose(i, [p, p, t, v, v, q])
+    return out
+
+
 class MarsImageDataset:
     """Source-typed Mars image dataset with train-time augmentation."""
 
@@ -94,8 +126,10 @@ class MarsImageDataset:
         return arr.astype(np.float32) / 255.0
 
     def _augment(self, img: np.ndarray, rng=None) -> np.ndarray:
-        """Color jitter (brightness/contrast/saturation ±0.2) + horizontal flip
-        (reference mars_dataset.py:83-86)."""
+        """Color jitter (brightness/contrast/saturation ±0.2, hue ±0.1) +
+        horizontal flip (reference mars_dataset.py:83-86).  The C++
+        `md_mars_augment_f32` is the *synthetic-data* Mars-tint variant
+        (mars_finetune.py:117-138 semantics), not this training jitter."""
         r = rng if rng is not None else self._rng
         img = img * (1 + (r.random() - 0.5) * 0.4)                      # brightness
         mean = img.mean()
@@ -103,6 +137,7 @@ class MarsImageDataset:
         gray = img.mean(axis=-1, keepdims=True)
         img = gray + (img - gray) * (1 + (r.random() - 0.5) * 0.4)      # saturation
         img = np.clip(img, 0.0, 1.0)
+        img = hue_shift(img, (r.random() - 0.5) * 0.2)                  # hue ±0.1
         if r.random() < 0.5:
             img = img[:, ::-1, :]
         return np.ascontiguousarray(img)
@@ -211,12 +246,21 @@ class NumpyLoader:
             idx = order[start:start + self.batch_size]
             if len(idx) == self.batch_size:
                 per = self.local_batch_size
+                lo = self.shard_index * per
             else:
-                # ragged final batch (drop_last=False): split what's there.
-                # Multi-host training should use drop_last=True so every
-                # host sees the same batch count.
-                per = max(len(idx) // self.shard_count, 1)
-            lo = self.shard_index * per
+                # ragged final batch (drop_last=False): exact disjoint split —
+                # host i takes base+1 rows for i < rem, base otherwise, so
+                # the union over hosts covers every row exactly once.  A tail
+                # smaller than the host count cannot be split without
+                # duplication and is dropped on ALL hosts (keeps per-host
+                # batch counts equal; multi-host training should use
+                # drop_last=True anyway).
+                m = len(idx)
+                if m < self.shard_count:
+                    continue
+                base, rem = divmod(m, self.shard_count)
+                per = base + (1 if self.shard_index < rem else 0)
+                lo = self.shard_index * base + min(self.shard_index, rem)
             shard = idx[lo:lo + per]
             if len(shard) == 0:
                 continue

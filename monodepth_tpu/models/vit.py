@@ -229,11 +229,23 @@ class VisionTransformer(nn.Module):
 
         seq = x.shape[1]
         valid_len = None
-        if not window and self.seq_pad_multiple > 1 and seq % self.seq_pad_multiple:
+        # attn_global_pool (SRA) needs the unpadded CLS+grid sequence (K/V
+        # pooling is over the grid tokens); padding would silently disable it
+        # (ADVICE r2), so pooled global attention skips the pad like the
+        # windowed path does.
+        skip_pad = bool(window) or bool(self.attn_global_pool)
+        if not skip_pad and self.seq_pad_multiple > 1 and seq % self.seq_pad_multiple:
             padded = ((seq + self.seq_pad_multiple - 1)
                       // self.seq_pad_multiple) * self.seq_pad_multiple
             x = jnp.pad(x, [(0, 0), (0, padded - seq), (0, 0)])
             valid_len = seq
+        if self.attn_global_pool and seq != 1 + n_h * n_w:
+            import warnings
+
+            warnings.warn(
+                f"attn_global_pool={self.attn_global_pool} requires a CLS+grid "
+                f"sequence (got seq={seq}, grid={n_h}x{n_w}); pooling disabled "
+                "for this call", stacklevel=2)
 
         taps = []
         tap_set = set(self.tap_indices)

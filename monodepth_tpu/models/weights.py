@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = [
     "convert_vit_state_dict",
+    "convert_decoder_state_dict",
     "convert_reference_state_dict",
     "find_vit_weights",
     "load_torch_state_dict",
@@ -115,6 +116,26 @@ def _convert_convblock(sd, prefix):
     return params, stats
 
 
+def convert_decoder_state_dict(sd: Mapping, prefix: str = "decoder.convs."):
+    """Reference `DepthAnythingDecoder` weights (torch naming under `prefix`)
+    -> (params, batch_stats) trees for our decoder.  Usable standalone on a
+    bare `DepthAnythingDecoder().state_dict()` with prefix='convs.'."""
+    dec_p: Dict = {}
+    dec_s: Dict = {}
+    block_names = ["init_conv", "mars_adapt"]
+    for i in range(4):
+        block_names += [f"upconv_{i}_0", f"upconv_{i}_1"]
+        if i < 3:
+            block_names.append(f"skip_{i}")
+    for name in block_names:
+        p, s = _convert_convblock(sd, f"{prefix}{name}")
+        dec_p[name] = p
+        dec_s[name] = s
+    for s_idx in range(4):
+        dec_p[f"dispconv_{s_idx}"] = _conv(sd, f"{prefix}dispconv_{s_idx}")
+    return dec_p, dec_s
+
+
 def convert_reference_state_dict(sd: Mapping, enhanced: bool = False):
     """Full reference model state dict -> (params, batch_stats) trees.
 
@@ -139,19 +160,7 @@ def convert_reference_state_dict(sd: Mapping, enhanced: bool = False):
     stats["encoder"] = enc_s
 
     # --- decoder ---
-    dec_p: Dict = {}
-    dec_s: Dict = {}
-    block_names = ["init_conv", "mars_adapt"]
-    for i in range(4):
-        block_names += [f"upconv_{i}_0", f"upconv_{i}_1"]
-        if i < 3:
-            block_names.append(f"skip_{i}")
-    for name in block_names:
-        p, s = _convert_convblock(sd, f"decoder.convs.{name}")
-        dec_p[name] = p
-        dec_s[name] = s
-    for s_idx in range(4):
-        dec_p[f"dispconv_{s_idx}"] = _conv(sd, f"decoder.convs.dispconv_{s_idx}")
+    dec_p, dec_s = convert_decoder_state_dict(sd)
     params["decoder"] = dec_p
     stats["decoder"] = dec_s
 

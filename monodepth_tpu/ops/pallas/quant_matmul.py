@@ -18,7 +18,15 @@ whole M sweep.
 
 Weights quantize per-output-channel (symmetric max-abs / 127) — done once
 outside (see monodepth_tpu.ops.quant.quantize_symmetric); activations
-per-token symmetric.  Used by the serving path `ModelConfig.quantize='int8'`.
+per-token symmetric.
+
+Production status: this is the measured fused ALTERNATIVE that did not beat
+the XLA path at ViT-B shapes (106-117 T/s vs 97-127 for XLA bf16 LN+dense —
+at K=768 the VPU quantize/dequant epilogue eats the int8 MXU gain; see
+docs/PERF_STUDY.md "Why int8 doesn't save the parity path").  The serving
+knob `ModelConfig.quantize='int8'` therefore routes through the XLA
+int8_dense/QuantDense path; this kernel is retained for benchmarking and as
+the template for >=4096-wide contractions where the int8 advantage is real.
 """
 
 from __future__ import annotations

@@ -170,5 +170,62 @@ def test_serve_main_warmup_parses_and_precompiles(monkeypatch, capsys):
     monkeypatch.setattr(serve_cli, "make_server", _StopServer)
     with pytest.raises(KeyboardInterrupt):
         serve_cli.main(["--warmup", "32x48,16x16", "--max_batch", "4"])
-    assert ("batch", (4, 32, 48, 3)) in calls
-    assert ("single", (16, 16, 3)) in calls
+    # every bucket size the batcher can pad to is warmed, for every shape
+    for b in (1, 2, 4):
+        assert ("batch", (b, 32, 48, 3)) in calls
+        assert ("batch", (b, 16, 16, 3)) in calls
+
+
+def test_microbatcher_pads_to_warmed_buckets(rng):
+    """ADVICE r2 (medium): device batches must only ever be bucket sizes
+    (1, 2, 4, ..., max_batch) — an arbitrary coalesced size would hit a cold
+    jit compile and stall the worker past client timeouts."""
+    backend = _RecordingBackend()
+    mb = MicroBatcher(backend.predict_batch, max_batch=8, max_wait_ms=40)
+    try:
+        images = [rng.random((10, 12, 3), dtype=np.float32) for _ in range(3)]
+        futures = [mb.submit(img) for img in images]
+        results = [f.result(timeout=10) for f in futures]
+        for img, res in zip(images, results):
+            np.testing.assert_allclose(res["disp"][0, 0], img.mean(), rtol=1e-5)
+        assert set(backend.batch_sizes) <= {1, 2, 4, 8}, backend.batch_sizes
+        assert mb.served == 3  # padding rows are not counted as served
+    finally:
+        mb.close()
+
+
+def test_bucket_sizes():
+    from monodepth_tpu.serve import bucket_sizes
+
+    assert list(bucket_sizes(8)) == [1, 2, 4, 8]
+    assert list(bucket_sizes(6)) == [1, 2, 4, 6]
+    assert list(bucket_sizes(1)) == [1]
+
+
+def test_microbatcher_close_resolves_pending_futures(rng):
+    """ADVICE r2 (low): close() must not abandon queued requests — their
+    futures resolve with an error instead of blocking clients forever."""
+    import threading
+
+    release = threading.Event()
+
+    def slow_predict(images, metas):
+        release.wait(timeout=10)
+        return {"disp": np.zeros(images.shape[:3], np.float32)}
+
+    mb = MicroBatcher(slow_predict, max_batch=1, max_wait_ms=1)
+    try:
+        f1 = mb.submit(rng.random((8, 8, 3), dtype=np.float32))
+        import time as _t
+        _t.sleep(0.1)  # let the worker start on f1
+        f2 = mb.submit(rng.random((8, 8, 3), dtype=np.float32))  # queued
+        mb._stop.set()
+        mb._queue.put(None)
+        release.set()
+        mb._worker.join(timeout=10)
+        mb._drain([])
+        assert f1.result(timeout=5) is not None  # in-flight one completes
+        with pytest.raises(RuntimeError, match="closed"):
+            f2.result(timeout=5)
+    finally:
+        release.set()

@@ -192,6 +192,30 @@ def test_native_model_with_global_pool_runs(rng):
     np.testing.assert_array_equal(d1, d2)
 
 
+def test_global_pool_active_despite_seq_pad_multiple(rng):
+    """ADVICE r2: --native_resolution --attn_window 0 --global_pool 2 must
+    actually pool even when seq_pad_multiple would pad the sequence (the
+    default 16 silently disabled SRA before; the pad is now skipped)."""
+    from monodepth_tpu.models import DepthAnything
+
+    x = jnp.asarray(rng.random((1, 128, 128, 3), dtype=np.float32))
+    # grid 8x8 -> seq 65, not a multiple of 16: the old gate disabled pooling
+    pooled_padded = DepthAnything(native_patching=True, attn_global_pool=2,
+                                  seq_pad_multiple=16, output_scales=(0,))
+    pooled_clean = DepthAnything(native_patching=True, attn_global_pool=2,
+                                 seq_pad_multiple=1, output_scales=(0,))
+    unpooled = DepthAnything(native_patching=True, attn_global_pool=0,
+                             seq_pad_multiple=1, output_scales=(0,))
+    variables = pooled_clean.init(jax.random.PRNGKey(0), x)
+    d_padded = np.asarray(pooled_padded.apply(variables, x)[("disp", 0)])
+    d_clean = np.asarray(pooled_clean.apply(variables, x)[("disp", 0)])
+    d_unpooled = np.asarray(unpooled.apply(variables, x)[("disp", 0)])
+    # pad setting no longer changes the pooled result ...
+    np.testing.assert_allclose(d_padded, d_clean, atol=1e-6)
+    # ... and pooling is genuinely active (differs from full attention)
+    assert np.abs(d_padded - d_unpooled).max() > 1e-6
+
+
 def test_resize_for_native_grid_snaps_to_window_granularity():
     from monodepth_tpu.models.model import resize_for_native_grid
 

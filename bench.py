@@ -193,6 +193,52 @@ def bench_finetune(batch, height, width, steps):
     return steps / dt, steps * batch / dt
 
 
+def compare_results(new, old, tolerance=0.15):
+    """Compare two BENCH_CONFIGS.json result lists; return regressions.
+
+    A regression is a config whose throughput dropped by more than
+    `tolerance` (default 15% — the measured shared-chip run-to-run
+    variance).  Configs are matched by their "config" key; missing configs
+    in either list are ignored (new configs are not regressions).
+    """
+    old_by_config = {r["config"]: r for r in old if "config" in r}
+    regressions = []
+    for r in new:
+        prev = old_by_config.get(r.get("config"))
+        if not prev:
+            continue
+        was, now = prev.get("value"), r.get("value")
+        if not was or not now:
+            continue
+        if now < was * (1.0 - tolerance):
+            regressions.append({
+                "config": r["config"], "was": was, "now": now,
+                "drop_pct": round(100.0 * (1.0 - now / was), 1),
+            })
+    return regressions
+
+
+def check_regressions(results, path, tolerance=0.15):
+    """Compare `results` against the previous BENCH_CONFIGS.json at `path`
+    (before it is overwritten).  Returns regressions; logs them loudly."""
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path) as f:
+            old = json.load(f)
+    except Exception as e:
+        _log(f"[bench] could not read previous {path}: {e}")
+        return []
+    regressions = compare_results(results, old, tolerance)
+    for r in regressions:
+        _log(f"[bench] REGRESSION {r['config']}: {r['was']} -> {r['now']} "
+             f"(-{r['drop_pct']}%, tolerance {tolerance:.0%})")
+    if not regressions:
+        _log(f"[bench] no regressions vs previous {path} "
+             f"(tolerance {tolerance:.0%})")
+    return regressions
+
+
 def run_all(headline_value, batch, size, repeats):
     results = [
         {"config": "2_batched_folder_1024px_standard",
@@ -251,9 +297,12 @@ def run_all(headline_value, batch, size, repeats):
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_CONFIGS.json")
+    regressions = check_regressions(results, path)
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     _log(f"[bench --all] wrote {path}")
+    if regressions and os.environ.get("MONODEPTH_BENCH_STRICT"):
+        raise SystemExit(f"{len(regressions)} perf regression(s) > 15%")
 
 
 def main() -> int:

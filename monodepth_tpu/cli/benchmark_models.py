@@ -50,6 +50,41 @@ def _torchhub_backend(repo: str, model_name: str) -> Callable:  # pragma: no cov
     return run
 
 
+_HUB_MODEL_NAMES = {"midas": "MiDaS_small", "dpt": "DPT_Hybrid"}
+
+
+def _local_baseline_backend(name: str, path: str) -> Callable:
+    """External baseline from a LOCALLY MOUNTED artifact — no network
+    (VERDICT r2 item 10: the torch.hub path needs egress this environment
+    never has).  `path` may be:
+
+    - a TorchScript archive (.pt/.torchscript): architecture + weights in
+      one file, loaded with torch.jit.load;
+    - a directory: a local clone of the hub repo, loaded with
+      torch.hub.load(source='local') (weights resolved from the local
+      torch hub cache).
+    """
+    import torch
+
+    if os.path.isdir(path):
+        model = torch.hub.load(path, _HUB_MODEL_NAMES.get(name, name),
+                               source="local", trust_repo=True)
+    else:
+        model = torch.jit.load(path, map_location="cpu")
+    model.eval()
+
+    def run(img, metadata):
+        with torch.no_grad():
+            t = torch.from_numpy(
+                np.asarray(img, np.float32)).permute(2, 0, 1)[None]
+            out = model(t)
+            if isinstance(out, dict):
+                out = next(iter(out.values()))
+            return np.squeeze(out.cpu().numpy())
+
+    return run
+
+
 BACKEND_FACTORIES = {
     "depth_anything": lambda args: _our_backend(False, args.weights),
     "depth_anything_enhanced": lambda args: _our_backend(True, args.weights),
@@ -65,6 +100,11 @@ def parse_args(argv=None):
     p.add_argument("--models", type=str,
                    default="depth_anything,depth_anything_enhanced")
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--baseline_ckpt", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="register external baseline NAME from a locally "
+                        "mounted TorchScript file or local hub repo dir "
+                        "(repeatable); NAME is auto-added to --models")
     p.add_argument("--max_size", type=int, default=512)
     p.add_argument("--max_images", type=int, default=5)
     return p.parse_args(argv)
@@ -80,14 +120,27 @@ def main(argv=None):
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
 
-    backends: Dict[str, Callable] = {}
-    for name in args.models.split(","):
-        name = name.strip()
-        if name not in BACKEND_FACTORIES:
-            print(f"Unknown model '{name}' — skipping")
+    local_ckpts = {}
+    for spec in args.baseline_ckpt:
+        if "=" not in spec:
+            print(f"Bad --baseline_ckpt {spec!r} (want NAME=PATH) — skipping")
             continue
+        name, path = spec.split("=", 1)
+        local_ckpts[name.strip()] = path.strip()
+
+    model_names = [n.strip() for n in args.models.split(",") if n.strip()]
+    model_names += [n for n in local_ckpts if n not in model_names]
+
+    backends: Dict[str, Callable] = {}
+    for name in model_names:
         try:
-            backends[name] = BACKEND_FACTORIES[name](args)
+            if name in local_ckpts:
+                backends[name] = _local_baseline_backend(name, local_ckpts[name])
+            elif name in BACKEND_FACTORIES:
+                backends[name] = BACKEND_FACTORIES[name](args)
+            else:
+                print(f"Unknown model '{name}' — skipping")
+                continue
         except Exception as e:
             print(f"Backend '{name}' unavailable ({type(e).__name__}: {e}) — skipping")
     if not backends:

@@ -115,4 +115,15 @@ class DepthAnythingDecoder(nn.Module):
                 )(x)
                 outputs[("disp", i)] = nn.sigmoid(disp)
 
+            if self.scales and i >= max(self.scales):
+                # Levels beyond the last requested scale feed no output —
+                # the reference decoder runs them unconditionally
+                # (decoder.py:106-171), but they only produce deeper-scale
+                # disparities.  Skipping them is output-identical and saves
+                # the largest convs (each level doubles spatial resolution):
+                # with output_scales=(0,) at 1024px native this drops the
+                # 256/512/1024-px ConvBlocks entirely.  Full reference
+                # checkpoints still load: flax ignores the unused params.
+                break
+
         return outputs

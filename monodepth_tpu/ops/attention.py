@@ -89,27 +89,29 @@ def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
     # CLS query attends over the full (CLS + grid) sequence: 1 x S, cheap.
     cls_out = _mha_xla(q[:, :1], k, v, num_heads)
 
-    def to_windows(x):
-        xg = x[:, 1:].reshape(b, gh, window, gw, window, d)
-        return (xg.transpose(0, 1, 3, 2, 4, 5)
-                  .reshape(b * gh * gw, window * window, d))
-
     if impl == "pallas":
         import jax
 
-        from monodepth_tpu.ops.pallas.attention import fused_mha_short
+        from monodepth_tpu.ops.pallas.attention import fused_window_mha
 
-        # packed-head short kernel per window group: measured ~5.9 ms/layer
-        # for the XLA batched-matmul form at 4096 tokens/window 16 (b8) —
-        # the [groups, W^2, D] shapes suit the whole-sequence kernel.
-        ow = fused_mha_short(to_windows(q), to_windows(k), to_windows(v),
-                             num_heads=num_heads,
-                             interpret=jax.default_backend() == "cpu")
+        # window-direct kernel: the BlockSpec reads each window straight out
+        # of the [B, nh, nw, D] token grid — no 6-D HBM transpose on either
+        # side (the packed-head short kernel over to_windows() output spent
+        # most of its 2.5 ms/layer on exactly that traffic)
+        grid_out = fused_window_mha(q[:, 1:], k[:, 1:], v[:, 1:],
+                                    num_heads=num_heads, grid_hw=grid_hw,
+                                    window=window,
+                                    interpret=jax.default_backend() == "cpu")
     else:
+        def to_windows(x):
+            xg = x[:, 1:].reshape(b, gh, window, gw, window, d)
+            return (xg.transpose(0, 1, 3, 2, 4, 5)
+                      .reshape(b * gh * gw, window * window, d))
+
         ow = _mha_xla(to_windows(q), to_windows(k), to_windows(v), num_heads)
-    grid_out = (ow.reshape(b, gh, gw, window, window, d)
-                  .transpose(0, 1, 3, 2, 4, 5)
-                  .reshape(b, nh * nw, d))
+        grid_out = (ow.reshape(b, gh, gw, window, window, d)
+                      .transpose(0, 1, 3, 2, 4, 5)
+                      .reshape(b, nh * nw, d))
     return jnp.concatenate([cls_out, grid_out], axis=1)
 
 

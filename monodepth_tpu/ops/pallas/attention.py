@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mha", "fused_mha_short", "fused_spatial_attention"]
+__all__ = ["fused_mha", "fused_mha_short", "fused_window_mha",
+           "fused_spatial_attention"]
 
 _NEG_BIG = -1e30  # softmax mask value: exp(-1e30 - m) underflows to exactly 0
 
@@ -36,37 +37,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  s_real: int, scale: float, block_k: int, num_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+                  s_real: int, scale: float, block_k: int, num_k: int,
+                  dv: int):
     """One (q-block, k-block) grid step of online-softmax attention.
 
-    q_ref: [1, BQ, Dk]; k_ref: [1, BK, Dk]; v_ref: [1, BK, Dv];
-    o_ref: [1, BQ, Dv].  Scratch: m/l [BQ, 128] f32 (lane-replicated running
-    max / normalizer), acc [BQ, Dv] f32.  k-blocks iterate innermost; scratch
-    carries state across them; the output is written on the last k step.
+    q_ref: [1, BQ, Dk]; k_ref: [1, BK, Dk]; v_ref: [1, BK, Dv_ext] where
+    column `dv` of v is a packed ONES column: the PV matmul then produces
+    the softmax normalizer sum_k p[q,k] in acc[:, dv] for free (Dv=64 pads
+    to the 128-lane MXU tile anyway), eliminating a whole VPU reduction
+    pass over the logits — the kernel is VPU-bound on exactly those passes
+    at long sequence.  o_ref: [1, BQ, Dv_ext] (caller slices [:dv]).
+    Scratch: m [BQ, 128] f32 (lane-replicated running max), acc
+    [BQ, Dv_ext] f32 (value accumulator + normalizer column).  k-blocks
+    iterate innermost; scratch carries state across them.
     """
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # Softmax in base 2: exp(x) == exp2(x * log2(e)); folding log2(e) into
     # the logits scale makes every softmax elementwise op an exp2 — the
-    # attention kernels are VPU-bound on exactly these ops at long sequence
-    # (measured ~11 ms/layer at 4608^2 logits, batch 8), and exp2 is the
     # cheaper primitive.
-    q = q_ref[0].astype(jnp.float32) * (scale * 1.4426950408889634)
-    k = k_ref[0].astype(jnp.float32)
+    # Matmul inputs stay in the INPUT dtype (bf16 on the perf path) with f32
+    # accumulation; softmax statistics (max / accumulator) remain f32.
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
+    k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK] — logits pre-scaled by log2(e)
+    )  # [BQ, BK] f32 — logits pre-scaled by log2(e)
 
-    # Mask keys at/after s_real (sequence padding).  Entirely-valid blocks
-    # skip the mask at trace time (kb is a grid constant per compilation?
-    # no — program_id is dynamic, so mask whenever any block can overlap).
+    # Mask keys at/after s_real (sequence padding).
     if num_k * block_k > s_real:
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_real, s, _NEG_BIG)
@@ -77,20 +81,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     p = jnp.exp2(s - m_new)                     # [BQ, BK]
     correction = jnp.exp2(m_prev - m_new)       # [BQ, 1]
 
-    v = v_ref[0].astype(jnp.float32)
+    v = v_ref[0]                                # [BK, Dv_ext], ones at dv
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, Dv]
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32
+    )  # [BQ, Dv_ext]: values in [:, :dv], normalizer in [:, dv]
 
-    l_prev = l_scr[:, :1]
-    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * correction + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(kb == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / acc_scr[:, dv:dv + 1]).astype(o_ref.dtype)
 
 
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
@@ -126,9 +128,17 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
     num_q = sq_pad // block_q
     num_k = sk_pad // block_k
 
+    # Pack a ones column at index dv of v (padding Dv up to the 128-lane
+    # tile it would occupy anyway): the PV matmul then emits the softmax
+    # normalizer alongside the values — see _flash_kernel.
+    dv_ext = _round_up(dv + 1, 128)
+    v = jnp.pad(v, [(0, 0), (0, 0), (0, dv_ext - dv)])
+    ones_col = (jnp.arange(dv_ext) == dv).astype(v.dtype)
+    v = v + ones_col[None, None, :]
+
     kernel = functools.partial(
         _flash_kernel, s_real=valid_len, scale=scale,
-        block_k=block_k, num_k=num_k,
+        block_k=block_k, num_k=num_k, dv=dv,
     )
     out = pl.pallas_call(
         kernel,
@@ -138,20 +148,19 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dk), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv), lambda i, j, kb: (i, kb, 0),
+            pl.BlockSpec((1, block_k, dv_ext), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dv), lambda i, j, kb: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, dv_ext), lambda i, j, kb: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, sq_pad, dv), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, sq_pad, dv_ext), v.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running normalizer
-            pltpu.VMEM((block_q, dv), jnp.float32),    # value accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),     # running max
+            pltpu.VMEM((block_q, dv_ext), jnp.float32),  # acc + normalizer
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :s, :]
+    return out[:, :s, :dv]
 
 
 def fused_mha(q, k, v, *, num_heads: int, interpret: bool = False,
@@ -194,9 +203,12 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
     needs_mask = s_real < s_pad
     for h in range(heads_per_block):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        # base-2 softmax: log2(e) folded into the query scale (see flash)
-        q = q_ref[0, :, sl].astype(jnp.float32) * (scale * 1.4426950408889634)
-        k = k_ref[0, :, sl].astype(jnp.float32)
+        # base-2 softmax: log2(e) folded into the query scale (see flash);
+        # matmul operands stay in input dtype (bf16 on chip) with f32
+        # accumulation — all-f32 MXU matmuls run at ~1/4 the bf16 rate
+        q = q_ref[0, :, sl] * jnp.asarray(scale * 1.4426950408889634,
+                                          q_ref.dtype)
+        k = k_ref[0, :, sl]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if needs_mask:
@@ -204,8 +216,8 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp2(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0, :, sl].astype(jnp.float32)
-        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        v = v_ref[0, :, sl]
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
@@ -252,6 +264,85 @@ def fused_mha_short(q, k, v, *, num_heads: int, interpret: bool = False,
         interpret=interpret,
     )(q, k, v)
     return out[:, :s, :]
+
+
+def _window_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
+                       head_dim: int, scale: float, window: int,
+                       windows_per_block: int):
+    """Attention for one ROW of windows x `heads_per_block` heads, read
+    directly from the token grid.
+
+    Refs are [1, W, gw*W, heads_per_block * head_dim] row-of-windows tiles
+    of the [B, nh, nw, D] grid — a fully CONTIGUOUS slab (whole grid rows),
+    so the DMA is dense and the 6-D HBM transpose the XLA path needs
+    (to_windows / inverse) never happens.  The kernel loops over the
+    `windows_per_block` windows in the row and the heads in its lane slice;
+    each window's [W*W, W*W] logits live only in registers/VMEM.
+    """
+    w = window
+    n = w * w
+    for wj in range(windows_per_block):
+        cols = slice(wj * w, (wj + 1) * w)
+        q = q_ref[0, :, cols, :].reshape(n, heads_per_block * head_dim)
+        k = k_ref[0, :, cols, :].reshape(n, heads_per_block * head_dim)
+        v = v_ref[0, :, cols, :].reshape(n, heads_per_block * head_dim)
+        for h in range(heads_per_block):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            # bf16 matmul operands, f32 accumulation (see _flash_kernel)
+            qh = q[:, sl] * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+            kh = k[:, sl]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            vh = v[:, sl]
+            o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[0, :, cols, sl] = o.reshape(w, w, head_dim).astype(
+                o_ref.dtype)
+
+
+def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
+                     interpret: bool = False, heads_per_block: int = 12):
+    """ViTDet window-local MHA over grid tokens [B, nh*nw, D] (no CLS).
+
+    Each grid program computes one row of windows x `heads_per_block` heads
+    with the tokens read straight out of the [B, nh, nw, D] token grid by
+    the BlockSpec (dense contiguous DMA) — no host- or XLA-side window
+    transpose, and per-program work is large enough to amortize dispatch
+    (the one-window-per-program variant measured 17 us/program against
+    ~8 us of compute).  Numerically equivalent to _mha_xla per window.
+    """
+    b, s, dim = q.shape
+    nh, nw = grid_hw
+    assert s == nh * nw, (s, grid_hw)
+    assert nh % window == 0 and nw % window == 0, (grid_hw, window)
+    hd = dim // num_heads
+    heads_per_block = min(heads_per_block, num_heads)
+    while num_heads % heads_per_block:
+        heads_per_block -= 1
+    gh, gw = nh // window, nw // window
+    lanes = heads_per_block * hd
+
+    grid4 = lambda x: x.reshape(b, nh, nw, dim)
+    spec = pl.BlockSpec((1, window, nw, lanes),
+                        lambda bi, wi, hg: (bi, wi, 0, hg),
+                        memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _window_mha_kernel, heads_per_block=heads_per_block, head_dim=hd,
+        scale=float(1.0 / (hd ** 0.5)), window=window, windows_per_block=gw,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, gh, num_heads // heads_per_block),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, nh, nw, dim), v.dtype),
+        interpret=interpret,
+    )(grid4(q), grid4(k), grid4(v))
+    return out.reshape(b, s, dim)
 
 
 def fused_spatial_attention(q, k, v, *, block_q: int = 512,

@@ -109,6 +109,45 @@ def main():
         dt = timeit(f, tvars, tokens_list)
         print(f"tower {mode:9s}: {dt*1e3:.1f} ms", flush=True)
 
+    if "--enhanced" in sys.argv:
+        # Enhanced-native budget (VERDICT r2 item 6): full enhanced forward,
+        # then the enhanced-only extras isolated (spatial attention on the
+        # 64x64 encoder grids; uncertainty + refinement + fusion heads ride
+        # the decoder and are grouped into the full-minus-standard delta).
+        from monodepth_tpu.models import EnhancedDepthAnything
+        from monodepth_tpu.ops.attention import spatial_self_attention
+
+        emodel = EnhancedDepthAnything(dtype=jnp.bfloat16, seq_pad_multiple=1,
+                                       native_patching=True,
+                                       attn_impl="pallas", attn_window=window,
+                                       light_outputs=True)
+        ebatch = max(batch // 2, 1)
+        exs = [x[:ebatch] for x in xs]
+        evars = emodel.init(jax.random.PRNGKey(0), exs[0][:1])
+
+        @jax.jit
+        def efwd(v, x):
+            return emodel.apply(v, x)[("disp", 0)][:, ::256, ::256, 0]
+
+        dt = timeit(efwd, evars, exs)
+        print(f"enhanced native b{ebatch} w{window}: {dt*1e3:.1f} ms = "
+              f"{ebatch/dt:.1f} img/s", flush=True)
+
+        # spatial attention standalone at the native 64x64 grid, 256 ch
+        feats = [jax.device_put(jnp.asarray(
+            rng.standard_normal((ebatch, 64, 64, 256)).astype(np.float32)
+        ).astype(jnp.bfloat16)) for _ in range(3)]
+
+        @jax.jit
+        def sattn(_v, f_):
+            out = spatial_self_attention(f_[..., :32], f_[..., :32], f_,
+                                         f_, 1.0, impl="pallas")
+            return out[:, :1, :8, 0]
+
+        dt = timeit(sattn, None, feats)
+        print(f"spatial-attn 64x64x256 b{ebatch}: {dt*1e3:.2f} ms/block",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -34,3 +34,34 @@ def test_bench_emits_json_line():
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
     assert payload["unit"] == "images/sec/chip"
+
+
+def test_bench_regression_comparison(tmp_path):
+    """VERDICT r2 item 8: comparing a new BENCH_CONFIGS capture against the
+    previous round's flags >15% drops and ignores noise/new configs."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    old = [
+        {"config": "a", "value": 100.0},
+        {"config": "b", "value": 200.0},
+        {"config": "gone", "value": 50.0},
+    ]
+    new = [
+        {"config": "a", "value": 90.0},     # -10%: within tolerance
+        {"config": "b", "value": 150.0},    # -25%: regression
+        {"config": "new_cfg", "value": 5.0},  # new: ignored
+    ]
+    regs = bench.compare_results(new, old, tolerance=0.15)
+    assert [r["config"] for r in regs] == ["b"]
+    assert regs[0]["was"] == 200.0 and regs[0]["now"] == 150.0
+    assert regs[0]["drop_pct"] == 25.0
+
+    # check_regressions end-to-end against a file (and survives bad files)
+    path = tmp_path / "BENCH_CONFIGS.json"
+    path.write_text(json.dumps(old))
+    regs2 = bench.check_regressions(new, str(path))
+    assert [r["config"] for r in regs2] == ["b"]
+    assert bench.check_regressions(new, str(tmp_path / "missing.json")) == []
+    (tmp_path / "bad.json").write_text("not json")
+    assert bench.check_regressions(new, str(tmp_path / "bad.json")) == []

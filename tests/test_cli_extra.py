@@ -58,6 +58,34 @@ def test_benchmark_models_cli(image_dir, tmp_path):
     assert set(df["model"]) == {"depth_anything"}
 
 
+def test_benchmark_models_local_baseline_ckpt(image_dir, tmp_path):
+    """VERDICT r2 item 10: --baseline_ckpt NAME=PATH runs an external
+    baseline from a locally mounted TorchScript artifact, no egress."""
+    torch = pytest.importorskip("torch")
+
+    from monodepth_tpu.cli.benchmark_models import main
+
+    class TinyDepth(torch.nn.Module):
+        def forward(self, x):  # [1, 3, H, W] -> [H, W] inverse-brightness
+            return 1.0 / (x.mean(dim=1)[0] + 0.1)
+
+    ckpt = tmp_path / "tiny_baseline.pt"
+    torch.jit.save(torch.jit.script(TinyDepth()), str(ckpt))
+
+    out = tmp_path / "zoo_local"
+    rc = main(["--input", str(image_dir), "--output_dir", str(out),
+               "--max_size", "48", "--max_images", "1",
+               "--models", "depth_anything",
+               "--baseline_ckpt", f"tiny=%s" % ckpt])
+    assert rc == 0
+    import pandas as pd
+
+    df = pd.read_csv(out / "benchmark_results.csv")
+    assert set(df["model"]) == {"depth_anything", "tiny"}
+    tiny_rows = df[df["model"] == "tiny"]
+    assert np.isfinite(tiny_rows["quality_score"]).all()
+
+
 def test_mars_finetune_cli_synthetic(image_dir, tmp_path):
     from monodepth_tpu.cli.mars_finetune import main
 

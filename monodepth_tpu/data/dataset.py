@@ -399,28 +399,36 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
                          prefetch: int = 2, seed: int = 0,
                          source_type: Optional[str] = None,
                          num_workers: int = 0,
-                         shard_index: int = 0, shard_count: int = 1):
+                         shard_index: int = 0, shard_count: int = 1,
+                         backend: str = "numpy"):
     """Train/val/test loaders (reference mars_dataset.py:201-236).
 
     `source_type` accepts the reference adapter's convention
     (mars_adapter.py:42): 'mixed' (all sources), or a single source name.
     `num_workers` enables the multiprocess decode pool; `shard_index`/
     `shard_count` select this host's rows for multi-host DP (batch_size is
-    the global batch).
+    the global batch).  `backend`: 'numpy' (NumpyLoader fork pool) or
+    'grain' (Google Grain pipeline, data/grain_pipeline.py).
     """
     if source_type is not None and source_type != "mixed":
         sources = (source_type,)
     loaders = {}
     for split in ("train", "val", "test"):
         ds = MarsImageDataset(data_path, split, height, width, sources, seed=seed)
-        loaders[split] = NumpyLoader(
-            ds, batch_size,
+        common = dict(
             shuffle=(split == "train"),
             drop_last=(split == "train"),
-            prefetch=prefetch,
             seed=seed,
             num_workers=num_workers,
             shard_index=shard_index,
             shard_count=shard_count,
         )
+        if backend == "grain":
+            from monodepth_tpu.data.grain_pipeline import GrainLoader
+
+            loaders[split] = GrainLoader(ds, batch_size, **common)
+        else:
+            assert backend == "numpy", f"unknown loader backend {backend!r}"
+            loaders[split] = NumpyLoader(ds, batch_size, prefetch=prefetch,
+                                         **common)
     return loaders["train"], loaders["val"], loaders["test"]

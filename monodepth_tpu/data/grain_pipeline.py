@@ -1,0 +1,153 @@
+"""Grain-based input pipeline — the production alternative to
+`data.dataset.NumpyLoader`'s fork-pool (ROADMAP round-3 item 2).
+
+Google Grain is the TPU-idiomatic host input stack: deterministic
+per-record RNG (results independent of worker count, matching the
+NumpyLoader contract), checkpointable iterators, and process-pool workers
+managed by the library instead of our own fork pool.
+
+`GrainLoader` yields batches in the exact NumpyLoader format —
+{'image': [B, H, W, 3] float32, 'metadata': list of dicts} — so the
+training stack (`train/adapter.py`) can swap loaders with a flag
+(`get_mars_dataloaders(backend='grain')`).
+
+Sharding semantics: grain shards the *index stream* via ShardOptions
+(round-robin over the epoch order), unlike NumpyLoader's
+rows-of-every-global-batch split.  Both give each host a disjoint,
+complete 1/N of the data; only the row->host assignment differs — fine
+for training, documented here for anyone comparing batches across the
+two backends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["GrainLoader", "grain_available"]
+
+
+def grain_available() -> bool:
+    try:
+        import grain.python  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover - env-dependent
+        return False
+
+
+class _DecodeAugmentSource:
+    """Grain RandomAccessDataSource over MarsImageDataset records.
+
+    Decode happens in `__getitem__` (runs in grain worker processes);
+    augmentation randomness is applied later by `_AugmentTransform` with
+    grain's per-record generator so results are worker-count independent.
+    """
+
+    def __init__(self, dataset):
+        self._ds = dataset
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    def __getitem__(self, index: int):
+        return int(index)  # defer decode to the transform (needs the rng)
+
+
+def _make_load_transform(dataset):
+    """grain RandomMapTransform: decode + augment + normalize one record
+    with the per-record np.random.Generator grain supplies (derived from
+    (seed, record) — deterministic for any worker count).  Built lazily so
+    importing this module never requires grain."""
+    import grain.python as pygrain
+
+    class _LoadTransform(pygrain.RandomMapTransform):
+        def __init__(self, ds):
+            self._ds = ds
+
+        def random_map(self, index: int, rng: np.random.Generator):
+            item = self._ds.get(int(index), rng=rng)
+            meta = item["metadata"]
+            return {
+                "image": item["image"],
+                "source": meta["source"],
+                "path": meta["path"],
+                "altitude": np.float32(meta["altitude"]),
+            }
+
+    return _LoadTransform(dataset)
+
+
+class GrainLoader:
+    """NumpyLoader-compatible batched loader on grain.python.DataLoader."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 drop_last: bool, seed: int = 0, num_workers: int = 0,
+                 shard_index: int = 0, shard_count: int = 1,
+                 num_epochs: Optional[int] = None):
+        import grain.python as pygrain
+
+        assert 0 <= shard_index < shard_count
+        assert batch_size % shard_count == 0, (
+            f"global batch {batch_size} not divisible by {shard_count} hosts")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch_size = batch_size // shard_count
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._pygrain = pygrain
+        self._sampler_kw = dict(
+            num_records=len(dataset),
+            shard_options=pygrain.ShardOptions(
+                shard_index=shard_index, shard_count=shard_count,
+                drop_remainder=drop_last),
+            shuffle=shuffle,
+            seed=seed,
+        )
+        # Batching happens in __iter__, NOT via pygrain.Batch: an in-pipeline
+        # Batch op batches per worker, so batch composition and drop_remainder
+        # semantics would change with worker count; record-level parallelism
+        # keeps the sampler order (grain guarantees ordered, deterministic
+        # output) and our own batching preserves the NumpyLoader contract.
+        self._loader_kw = dict(
+            data_source=_DecodeAugmentSource(dataset),
+            operations=[_make_load_transform(dataset)],
+            worker_count=num_workers,
+        )
+        self._epoch = 0
+
+    def __len__(self):
+        per_host = len(self.dataset) // self._sampler_kw[
+            "shard_options"].shard_count
+        if self.drop_last:
+            return per_host // self.local_batch_size
+        return (per_host + self.local_batch_size - 1) // self.local_batch_size
+
+    def __iter__(self):
+        pygrain = self._pygrain
+        sampler = pygrain.IndexSampler(
+            num_epochs=1, **{**self._sampler_kw,
+                             "seed": self._sampler_kw["seed"] + self._epoch})
+        loader = pygrain.DataLoader(sampler=sampler, **self._loader_kw)
+        self._epoch += 1
+
+        def emit(records):
+            return {
+                "image": np.stack([r["image"] for r in records]).astype(
+                    np.float32),
+                "metadata": [
+                    {"source": str(r["source"]), "path": str(r["path"]),
+                     "altitude": float(r["altitude"])}
+                    for r in records
+                ],
+            }
+
+        pending = []
+        for record in loader:
+            pending.append(record)
+            if len(pending) == self.local_batch_size:
+                yield emit(pending)
+                pending = []
+        if pending and not self.drop_last:
+            yield emit(pending)

@@ -37,9 +37,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *scratch,
                   s_real: int, scale: float, block_k: int, num_k: int,
-                  dv: int):
+                  dv: int, packed_norm: bool):
     """One (q-block, k-block) grid step of online-softmax attention.
 
     q_ref: [1, BQ, Dk]; k_ref: [1, BK, Dk]; v_ref: [1, BK, Dv_ext] where
@@ -53,11 +53,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     iterate innermost; scratch carries state across them.
     """
     kb = pl.program_id(2)
+    l_scr = scratch[0] if scratch else None  # unpacked-normalizer variant
 
     @pl.when(kb == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, _NEG_BIG)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if l_scr is not None:
+            l_scr[:] = jnp.zeros_like(l_scr)
 
     # Softmax in base 2: exp(x) == exp2(x * log2(e)); folding log2(e) into
     # the logits scale makes every softmax elementwise op an exp2 — the
@@ -81,18 +84,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *,
     p = jnp.exp2(s - m_new)                     # [BQ, BK]
     correction = jnp.exp2(m_prev - m_new)       # [BQ, 1]
 
-    v = v_ref[0]                                # [BK, Dv_ext], ones at dv
+    v = v_ref[0]                   # [BK, Dv_ext]; packed: ones column at dv
+    pb = p.astype(v.dtype)
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        pb, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32
-    )  # [BQ, Dv_ext]: values in [:, :dv], normalizer in [:, dv]
+    )  # [BQ, Dv_ext]; packed variant: normalizer lands in [:, dv]
 
     acc_scr[:] = acc_scr[:] * correction + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    if l_scr is not None:
+        # Dv already a 128-multiple (e.g. spatial attention's 256): a packed
+        # ones column would cost a whole extra MXU tile, so the normalizer
+        # stays a VPU reduction into its own scratch.
+        l_new = l_scr[:, :1] * correction + jnp.sum(p, axis=-1, keepdims=True)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(kb == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / acc_scr[:, dv:dv + 1]).astype(o_ref.dtype)
+        norm = (acc_scr[:, dv:dv + 1] if packed_norm else l_scr[:, :1])
+        o_ref[0] = (acc_scr[:] / norm).astype(o_ref.dtype)
 
 
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
@@ -128,17 +139,23 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
     num_q = sq_pad // block_q
     num_k = sk_pad // block_k
 
-    # Pack a ones column at index dv of v (padding Dv up to the 128-lane
-    # tile it would occupy anyway): the PV matmul then emits the softmax
-    # normalizer alongside the values — see _flash_kernel.
-    dv_ext = _round_up(dv + 1, 128)
-    v = jnp.pad(v, [(0, 0), (0, 0), (0, dv_ext - dv)])
-    ones_col = (jnp.arange(dv_ext) == dv).astype(v.dtype)
-    v = v + ones_col[None, None, :]
+    # Pack a ones column at index dv of v when the 128-lane padding is FREE
+    # (dv=64 pads to one MXU tile anyway): the PV matmul then emits the
+    # softmax normalizer alongside the values — see _flash_kernel.  When Dv
+    # is already a 128-multiple (spatial attention's 256) the extra tile
+    # would cost real MXU/DMA work, so the normalizer stays a VPU sum.
+    packed_norm = dv % 128 != 0
+    if packed_norm:
+        dv_ext = _round_up(dv + 1, 128)
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, dv_ext - dv)])
+        ones_col = (jnp.arange(dv_ext) == dv).astype(v.dtype)
+        v = v + ones_col[None, None, :]
+    else:
+        dv_ext = dv
 
     kernel = functools.partial(
         _flash_kernel, s_real=valid_len, scale=scale,
-        block_k=block_k, num_k=num_k, dv=dv,
+        block_k=block_k, num_k=num_k, dv=dv, packed_norm=packed_norm,
     )
     out = pl.pallas_call(
         kernel,
@@ -156,8 +173,9 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
         out_shape=jax.ShapeDtypeStruct((g, sq_pad, dv_ext), v.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),     # running max
-            pltpu.VMEM((block_q, dv_ext), jnp.float32),  # acc + normalizer
-        ],
+            pltpu.VMEM((block_q, dv_ext), jnp.float32),  # acc (+ packed norm)
+        ] + ([] if packed_norm
+             else [pltpu.VMEM((block_q, 128), jnp.float32)]),  # normalizer
         interpret=interpret,
     )(q, k, v)
     return out[:, :s, :dv]

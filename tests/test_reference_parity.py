@@ -27,18 +27,36 @@ if not os.path.isdir(os.path.join(REFERENCE, "models")):
 @pytest.fixture(scope="module")
 def ref():
     """Import the literal reference modules (layers, models.decoder,
-    models.refinement) from the mounted reference repo."""
+    models.refinement, models.enhanced_model) from the mounted reference
+    repo.  enhanced_model transitively imports models.encoder, whose only
+    import-time external is torchvision (used at *instantiation* time);
+    a stub satisfies the import without touching any tested code path."""
     import importlib
+    import types
 
     sys.path.insert(0, REFERENCE)
+    stubbed = False
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vit_b_16 = None
+        tv_models.ViT_B_16_Weights = None
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        stubbed = True
     try:
         mods = {
             "layers": importlib.import_module("layers"),
             "decoder": importlib.import_module("models.decoder"),
             "refinement": importlib.import_module("models.refinement"),
+            "enhanced": importlib.import_module("models.enhanced_model"),
         }
     finally:
         sys.path.remove(REFERENCE)
+        if stubbed:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.models", None)
     return mods
 
 
@@ -222,6 +240,97 @@ def test_texture_refinement_literal_parity(ref, rng, monkeypatch):
     got = ours.apply({"params": params}, jnp.asarray(depth), jnp.asarray(rgb))
     np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
                                _np(want), atol=5e-6)
+
+
+def test_enhanced_self_attention_literal_parity(ref, rng):
+    """Our SelfAttentionBlock vs reference enhanced_model.py:11-39."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models.enhanced import SelfAttentionBlock
+
+    torch.manual_seed(3)
+    ref_mod = ref["enhanced"].SelfAttentionBlock(in_channels=32)
+    ref_mod.eval()
+    with torch.no_grad():
+        ref_mod.gamma.fill_(0.7)  # non-zero so the attention path matters
+
+    x = rng.standard_normal((2, 9, 11, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_mod(_nchw(x))
+
+    params = {name: _conv_params(getattr(ref_mod, name))
+              for name in ("query", "key", "value")}
+    params["gamma"] = _np(ref_mod.gamma)
+    got = SelfAttentionBlock().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
+                               _np(want), atol=1e-5)
+
+
+def test_enhanced_uncertainty_literal_parity(ref, rng):
+    """Our UncertaintyModule vs reference enhanced_model.py:41-54."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models.enhanced import UncertaintyModule
+
+    torch.manual_seed(4)
+    ref_mod = ref["enhanced"].UncertaintyModule(in_channels=16)
+    ref_mod.eval()
+    x = rng.standard_normal((2, 10, 12, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_mod(_nchw(x))
+    params = {f"conv{j}": _conv_params(getattr(ref_mod, f"conv{j}"))
+              for j in (1, 2, 3)}
+    got = UncertaintyModule().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
+                               _np(want), atol=1e-6)
+
+
+def test_enhanced_fusion_literal_parity(ref, rng):
+    """Our MultiScaleFeatureFusion vs reference enhanced_model.py:56-82,
+    including the resize-to-coarsest target quirk (SURVEY §3.2)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models.enhanced import MultiScaleFeatureFusion
+
+    torch.manual_seed(5)
+    ref_mod = ref["enhanced"].MultiScaleFeatureFusion(scales=[0, 1, 2])
+    ref_mod.eval()
+    with torch.no_grad():
+        ref_mod.weights.copy_(torch.tensor([0.5, 0.3, 0.2]))
+
+    sizes = [(6, 8), (12, 16), (24, 32)]
+    feats = {s: rng.random((1, h, w, 1), dtype=np.float32)
+             for s, (h, w) in enumerate(sizes)}
+    with torch.no_grad():
+        want = ref_mod({s: _nchw(f) for s, f in feats.items()})
+    got = MultiScaleFeatureFusion(scales=(0, 1, 2)).apply(
+        {"params": {"weights": _np(ref_mod.weights)}},
+        {s: jnp.asarray(f) for s, f in feats.items()})
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
+                               _np(want), atol=1e-5)
+
+
+def test_enhanced_texture_refinement_literal_parity(ref, rng):
+    """Our TextureAwareRefinement vs reference enhanced_model.py:84-113
+    (incl. the depth-features-then-RGB concat order through the conv1
+    weight conversion)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.models.enhanced import TextureAwareRefinement
+
+    torch.manual_seed(6)
+    ref_mod = ref["enhanced"].TextureAwareRefinement(in_channels=24)
+    ref_mod.eval()
+    feats = rng.standard_normal((2, 8, 10, 24)).astype(np.float32)
+    rgb = rng.random((2, 16, 20, 3), dtype=np.float32)  # resized inside
+    with torch.no_grad():
+        want = ref_mod(_nchw(feats), _nchw(rgb))
+    params = {f"conv{j}": _conv_params(getattr(ref_mod, f"conv{j}"))
+              for j in (1, 2, 3)}
+    got = TextureAwareRefinement().apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(rgb))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1),
+                               _np(want), atol=2e-5)
 
 
 def test_multi_scale_fusion_literal_parity(ref, rng):

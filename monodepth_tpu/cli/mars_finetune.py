@@ -50,6 +50,10 @@ def parse_args(argv=None):
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--loader_backend", type=str, default="numpy",
+                   choices=["numpy", "grain"],
+                   help="host input pipeline: NumpyLoader fork pool or the "
+                        "Google Grain pipeline (data/grain_pipeline.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_variants", type=int, default=3,
                    help="Synthetic variants per seed image")
@@ -105,6 +109,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         seed=args.seed,
         resume=args.resume,
+        loader_backend=args.loader_backend,
     )
 
     from monodepth_tpu.train.adapter import MarsDomainAdapter

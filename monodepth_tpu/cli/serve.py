@@ -7,13 +7,23 @@ bench numbers instead of the single-image rate.
 
 Endpoints:
   GET  /healthz          -> {"status": "ok", "model": ...}
-  GET  /stats            -> request/batch counters
+  GET  /stats            -> request/batch/queue counters
   POST /predict          -> raw float32 depth map bytes (C-order) with
                             shape in the X-Depth-Shape header.
        body: PNG/JPEG image bytes
        query params: source=auto|rover|ingenuity|satellite,
                      max_size=<int> (LANCZOS downscale bound, default 1024),
                      output=depth|disp (default depth)
+  POST /predict_stream   -> chunked streaming over MANY images (video /
+       sequence serving): body is N images, each prefixed with its byte
+       length as an 8-byte big-endian u64; the response streams, per
+       image and in order, one JSON header line
+       ({"index", "shape", "dtype"}\n) followed by the raw float32 depth
+       bytes — each result is flushed as soon as its micro-batch
+       completes, so the client overlaps decode/network with device
+       compute.  Same query params as /predict.
+  Overload: when the request queue is at capacity the server sheds load
+  with 503 + Retry-After instead of queueing into client timeouts.
 
 Usage:
   python -m monodepth_tpu.cli.serve --port 8500 --dtype bfloat16 \
@@ -33,7 +43,7 @@ import numpy as np
 
 from monodepth_tpu.config import ModelConfig
 from monodepth_tpu.inference import MarsDepthEstimator
-from monodepth_tpu.serve import DepthService
+from monodepth_tpu.serve import DepthService, ServiceOverloaded
 
 __all__ = ["make_server", "main"]
 
@@ -74,6 +84,9 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
 
         def do_POST(self):
             parsed = urlparse(self.path)
+            if parsed.path == "/predict_stream":
+                self._predict_stream(parsed)
+                return
             if parsed.path != "/predict":
                 self._json(404, {"error": f"unknown path {parsed.path}"})
                 return
@@ -96,6 +109,15 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
             metadata = None if source == "auto" else {"source": source}
             try:
                 result = service.predict(image, metadata, timeout=120)
+            except ServiceOverloaded as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:  # pragma: no cover - device failures
                 self._json(500, {"error": str(e)})
                 return
@@ -108,6 +130,71 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
             self.send_header("Content-Length", str(arr.nbytes))
             self.end_headers()
             self.wfile.write(arr.tobytes())
+
+        # ---------------------------------------------------- streaming
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+            self.wfile.flush()
+
+        def _predict_stream(self, parsed):
+            """N length-prefixed images in -> chunked per-image results out,
+            each flushed the moment its micro-batch completes (the futures
+            for all images are submitted up front, so the device batches
+            across the whole sequence)."""
+            import struct
+
+            qs = parse_qs(parsed.query)
+            source = qs.get("source", ["auto"])[0]
+            max_size = int(qs.get("max_size", ["1024"])[0])
+            output = qs.get("output", ["depth"])[0]
+            if output not in ("depth", "disp"):
+                self._json(400, {"error": f"bad output {output!r}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            images, off = [], 0
+            try:
+                while off < len(body):
+                    (n,) = struct.unpack(">Q", body[off:off + 8])
+                    off += 8
+                    images.append(_decode_image(body[off:off + n], max_size))
+                    off += n
+            except Exception as e:
+                self._json(400, {"error": f"bad stream body: {e}"})
+                return
+            if not images:
+                self._json(400, {"error": "empty stream"})
+                return
+            metadata = None if source == "auto" else {"source": source}
+            try:
+                futures = [service.submit(img, metadata) for img in images]
+            except ServiceOverloaded as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                b = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Length", str(len(b)))
+                self.end_headers()
+                self.wfile.write(b)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for i, fut in enumerate(futures):
+                try:
+                    arr = np.ascontiguousarray(
+                        fut.result(timeout=120)[output], dtype=np.float32)
+                    header = json.dumps({"index": i,
+                                         "shape": list(arr.shape),
+                                         "dtype": "float32"})
+                    self._chunk(header.encode() + b"\n")
+                    self._chunk(arr.tobytes())
+                except Exception as e:  # pragma: no cover - device failures
+                    self._chunk(json.dumps(
+                        {"index": i, "error": str(e)}).encode() + b"\n")
+            self._chunk(b"")  # terminating chunk
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -127,6 +214,9 @@ def main(argv=None) -> int:
                         "agreement r=0.986 vs bf16, docs/PERF_STUDY.md)")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--max_queue", type=int, default=256,
+                   help="shed load (503 + Retry-After) when this many "
+                        "requests are already queued")
     p.add_argument("--warmup", default="",
                    help="comma-separated HxW shapes to pre-compile at "
                         "startup (e.g. '288x512,512x512') so the first "
@@ -140,7 +230,8 @@ def main(argv=None) -> int:
                          quantize=args.quantize)
     estimator = MarsDepthEstimator(config)
     service = DepthService(estimator, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue)
     from monodepth_tpu.serve import bucket_sizes
 
     for shape in filter(None, args.warmup.split(",")):

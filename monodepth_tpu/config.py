@@ -99,6 +99,10 @@ class TrainConfig:
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5
     num_workers: int = 4
+    # Host input pipeline: 'numpy' (NumpyLoader fork pool) or 'grain'
+    # (Google Grain, data/grain_pipeline.py — deterministic per-record RNG,
+    # library-managed workers).
+    loader_backend: str = "numpy"
     seed: int = 0
     log_every: int = 10
     resume: bool = False

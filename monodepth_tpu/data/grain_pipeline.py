@@ -125,6 +125,8 @@ class GrainLoader:
         return (per_host + self.local_batch_size - 1) // self.local_batch_size
 
     def __iter__(self):
+        if len(self.dataset) == 0:
+            return  # empty split: yield nothing (NumpyLoader contract)
         pygrain = self._pygrain
         sampler = pygrain.IndexSampler(
             num_epochs=1, **{**self._sampler_kw,

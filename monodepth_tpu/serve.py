@@ -26,7 +26,13 @@ from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["MicroBatcher", "DepthService", "bucket_sizes"]
+__all__ = ["MicroBatcher", "DepthService", "ServiceOverloaded",
+           "bucket_sizes"]
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised by submit() when the request queue exceeds max_queue —
+    shedding load immediately beats letting every client time out."""
 
 
 def bucket_sizes(max_batch: int) -> Sequence[int]:
@@ -62,8 +68,11 @@ class MicroBatcher:
     """
 
     def __init__(self, predict_batch_fn, *, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, pad_to_bucket: bool = True):
+                 max_wait_ms: float = 5.0, pad_to_bucket: bool = True,
+                 max_queue: int = 256):
         assert max_batch >= 1
+        self.max_queue = max_queue
+        self.shed = 0  # requests rejected due to overload
         self._predict = predict_batch_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -85,9 +94,16 @@ class MicroBatcher:
     # ------------------------------------------------------------- client
     def submit(self, image: np.ndarray,
                metadata: Optional[Mapping] = None) -> Future:
-        """Enqueue one [H, W, 3] image; resolves to its output dict."""
+        """Enqueue one [H, W, 3] image; resolves to its output dict.
+
+        Raises ServiceOverloaded when the queue is already max_queue deep.
+        """
         if self._stop.is_set():
             raise RuntimeError("MicroBatcher is closed")
+        if self.max_queue and self._queue.qsize() >= self.max_queue:
+            self.shed += 1
+            raise ServiceOverloaded(
+                f"request queue at capacity ({self.max_queue})")
         req = _Request(np.asarray(image), metadata)
         self._queue.put(req)
         return req.future
@@ -196,16 +212,22 @@ class DepthService:
     """MarsDepthEstimator behind a MicroBatcher, with stats."""
 
     def __init__(self, estimator, *, max_batch: int = 8,
-                 max_wait_ms: float = 5.0, pad_to_bucket: bool = True):
+                 max_wait_ms: float = 5.0, pad_to_bucket: bool = True,
+                 max_queue: int = 256):
         self.estimator = estimator
         self.batcher = MicroBatcher(estimator.predict_batch,
                                     max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
-                                    pad_to_bucket=pad_to_bucket)
+                                    pad_to_bucket=pad_to_bucket,
+                                    max_queue=max_queue)
         self.started_at = time.time()
 
     def predict(self, image, metadata=None, timeout=None):
         return self.batcher.predict(image, metadata, timeout=timeout)
+
+    def submit(self, image, metadata=None):
+        """Future-returning submit (streaming endpoints pipeline these)."""
+        return self.batcher.submit(image, metadata)
 
     def stats(self) -> Dict:
         b = self.batcher
@@ -214,6 +236,8 @@ class DepthService:
             "batches": b.batches,
             "mean_batch_size": round(b.served / b.batches, 3) if b.batches else 0.0,
             "padded_rows": b.padded_rows,
+            "queue_depth": b._queue.qsize(),
+            "shed": b.shed,
             "max_batch": b.max_batch,
             "uptime_s": round(time.time() - self.started_at, 1),
         }

@@ -186,6 +186,7 @@ class MarsDomainAdapter:
                 prefetch=2, seed=cfg.seed,
                 num_workers=cfg.num_workers,
                 shard_index=process_index(), shard_count=process_count(),
+                backend=cfg.loader_backend,
             )
             train_loader = train_loader or tr
             val_loader = val_loader or va

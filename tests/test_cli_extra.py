@@ -97,6 +97,7 @@ def test_mars_finetune_cli_synthetic(image_dir, tmp_path):
         "--height", "32", "--width", "48",
         "--save_dir", str(tmp_path / "ckpt"),
         "--num_variants", "4",
+        "--loader_backend", "grain",  # train e2e through the Grain pipeline
     ])
     assert rc == 0
     # synthetic dataset materialized + checkpoint + logs written

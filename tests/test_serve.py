@@ -144,6 +144,66 @@ def test_http_predict_bad_body(http_service):
     assert exc_info.value.code == 400
 
 
+def test_microbatcher_sheds_load_at_max_queue(rng):
+    """Requests beyond max_queue get ServiceOverloaded immediately instead
+    of queueing into a client timeout."""
+    import threading
+
+    from monodepth_tpu.serve import ServiceOverloaded
+
+    release = threading.Event()
+
+    def slow_predict(images, metas):
+        release.wait(timeout=10)
+        return {"disp": np.zeros(images.shape[:3], np.float32)}
+
+    mb = MicroBatcher(slow_predict, max_batch=1, max_wait_ms=1, max_queue=2)
+    try:
+        futures = [mb.submit(rng.random((4, 4, 3), dtype=np.float32))]
+        import time as _t
+        _t.sleep(0.1)  # worker picks up the first request
+        for _ in range(2):  # fill the queue to capacity
+            futures.append(mb.submit(rng.random((4, 4, 3), dtype=np.float32)))
+        with pytest.raises(ServiceOverloaded):
+            mb.submit(rng.random((4, 4, 3), dtype=np.float32))
+        assert mb.shed == 1
+        release.set()
+        for f in futures:
+            assert f.result(timeout=10) is not None
+    finally:
+        release.set()
+        mb.close()
+
+
+def test_http_predict_stream_roundtrip(http_service, rng):
+    """N length-prefixed images -> chunked stream of (JSON header, f32
+    depth bytes) per image, in order."""
+    import struct
+
+    _, port = http_service
+    blobs = [_png_bytes(np.random.default_rng(i), 24, 32) for i in range(3)]
+    body = b"".join(struct.pack(">Q", len(b)) + b for b in blobs)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict_stream?source=rover&output=depth",
+        data=body, method="POST",
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        # urllib decodes the chunked transfer encoding transparently
+        payload = r.read()
+    off = 0
+    for i in range(3):
+        nl = payload.index(b"\n", off)
+        header = json.loads(payload[off:nl])
+        assert header["index"] == i
+        shape = tuple(header["shape"])
+        assert shape == (24, 32)
+        nbytes = int(np.prod(shape)) * 4
+        depth = np.frombuffer(payload[nl + 1:nl + 1 + nbytes], np.float32)
+        assert np.isfinite(depth).all() and (depth > 0).all()
+        off = nl + 1 + nbytes
+    assert off == len(payload)
+
+
 def test_serve_main_warmup_parses_and_precompiles(monkeypatch, capsys):
     """--warmup pre-compiles the listed shapes before serving starts."""
     import monodepth_tpu.cli.serve as serve_cli

@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["GrainLoader", "grain_available"]
+__all__ = ["GrainLoader", "GrainBatchIterator", "grain_available"]
 
 
 def grain_available() -> bool:
@@ -124,32 +124,88 @@ class GrainLoader:
             return per_host // self.local_batch_size
         return (per_host + self.local_batch_size - 1) // self.local_batch_size
 
-    def __iter__(self):
-        if len(self.dataset) == 0:
-            return  # empty split: yield nothing (NumpyLoader contract)
+    def _make_record_iter(self, epoch: int):
         pygrain = self._pygrain
         sampler = pygrain.IndexSampler(
             num_epochs=1, **{**self._sampler_kw,
-                             "seed": self._sampler_kw["seed"] + self._epoch})
-        loader = pygrain.DataLoader(sampler=sampler, **self._loader_kw)
+                             "seed": self._sampler_kw["seed"] + epoch})
+        return iter(pygrain.DataLoader(sampler=sampler, **self._loader_kw))
+
+    @staticmethod
+    def _emit(records):
+        return {
+            "image": np.stack([r["image"] for r in records]).astype(
+                np.float32),
+            "metadata": [
+                {"source": str(r["source"]), "path": str(r["path"]),
+                 "altitude": float(r["altitude"])}
+                for r in records
+            ],
+        }
+
+    def __iter__(self):
+        if len(self.dataset) == 0:
+            return  # empty split: yield nothing (NumpyLoader contract)
+        it = self._make_record_iter(self._epoch)
         self._epoch += 1
-
-        def emit(records):
-            return {
-                "image": np.stack([r["image"] for r in records]).astype(
-                    np.float32),
-                "metadata": [
-                    {"source": str(r["source"]), "path": str(r["path"]),
-                     "altitude": float(r["altitude"])}
-                    for r in records
-                ],
-            }
-
         pending = []
-        for record in loader:
+        for record in it:
             pending.append(record)
             if len(pending) == self.local_batch_size:
-                yield emit(pending)
+                yield self._emit(pending)
                 pending = []
         if pending and not self.drop_last:
-            yield emit(pending)
+            yield self._emit(pending)
+
+    def checkpointable_iter(self, epoch: int = 0,
+                            state: Optional[dict] = None):
+        """Batch iterator with mid-epoch checkpoint/resume
+        (`GrainBatchIterator.get_state()` -> JSON-able dict; pass it back as
+        `state` to resume exactly after the last emitted batch).  This is
+        the production data-state story the fork-pool loader cannot offer:
+        a preempted fine-tune resumes without replaying or skipping data.
+        """
+        return GrainBatchIterator(self, epoch, state)
+
+
+class GrainBatchIterator:
+    """Checkpointable batched iterator over a GrainLoader epoch.
+
+    State snapshots are taken at batch boundaries: {"epoch": int,
+    "grain": hex-encoded grain DataLoaderIterator state}.  Restoring with
+    set_state / the `state` constructor arg continues with the batch after
+    the last one consumed before the snapshot.
+    """
+
+    def __init__(self, loader: GrainLoader, epoch: int = 0,
+                 state: Optional[dict] = None):
+        self._loader = loader
+        self._epoch = epoch
+        if state is not None:
+            self._epoch = int(state["epoch"])
+        self._it = loader._make_record_iter(self._epoch)
+        if state is not None:
+            self._it.set_state(bytes.fromhex(state["grain"]))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        records = []
+        while len(records) < self._loader.local_batch_size:
+            try:
+                records.append(next(self._it))
+            except StopIteration:
+                break
+        if not records or (self._loader.drop_last
+                           and len(records) < self._loader.local_batch_size):
+            raise StopIteration
+        return GrainLoader._emit(records)
+
+    def get_state(self) -> dict:
+        return {"epoch": self._epoch, "grain": self._it.get_state().hex()}
+
+    def set_state(self, state: dict):
+        self._epoch = int(state["epoch"])
+        self._it = self._loader._make_record_iter(self._epoch)
+        self._it.set_state(bytes.fromhex(state["grain"]))

@@ -198,6 +198,10 @@ class VisionTransformer(nn.Module):
     # when the patch grid is not divisible by the window.
     attn_window: int = 0
     global_attn_indices: Sequence[int] = None
+    # Windowed blocks carry the sequence as split (cls, grid) parts —
+    # numerically identical (tests/test_windowed_attention.py); flag kept
+    # for within-run A/Bs of the representation.
+    split_windowed: bool = True
     # Global blocks: average-pool K/V grid tokens by this factor (PVT-style
     # spatial-reduction attention) — shrinks the S x S logits pool^2-fold.
     # Only applied to unpadded grid sequences (native mode); 0 = off.
@@ -303,7 +307,7 @@ class VisionTransformer(nn.Module):
         # Native windowed mode: carry the sequence SPLIT as (cls, grid) so
         # windowed blocks never slice/concat the big grid tensor; global
         # blocks (and taps) reassemble it on demand.
-        use_split = bool(window)
+        use_split = bool(window) and self.split_windowed
         if use_split:
             cls_part, grid_part = x[:, :1, :], x[:, 1:, :]
             x = None

@@ -114,53 +114,6 @@ class EncoderBlock(nn.Module):
         return x + y
 
 
-class SplitEncoderBlock(nn.Module):
-    """EncoderBlock over a SPLIT (cls, grid) token representation — used by
-    the native windowed path so grid tokens flow into the window kernel
-    with no per-layer [:, 1:] slice-copies or output concats (measured
-    ~0.5 ms/layer of pure HBM traffic around the opaque pallas_call).
-
-    IDENTICAL param tree to EncoderBlock (ln_1 / qkv / out_proj / ln_2 /
-    mlp): every op is per-token, so applying them to the two parts
-    separately is numerically the same as on the concatenated sequence
-    (asserted in tests/test_windowed_attention.py).
-    """
-
-    num_heads: int
-    mlp_dim: int
-    dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
-    window: int = 16
-    grid_hw: tuple = None
-    quantize: str = ""
-
-    @nn.compact
-    def __call__(self, cls_part, grid_part):
-        from monodepth_tpu.ops.attention import windowed_mha_split
-
-        dense = _dense_cls(self.quantize)
-        dim = cls_part.shape[-1]
-        ln_1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_1")
-        qkv = dense(3 * dim, dtype=self.dtype, name="qkv")
-        qkv_c = qkv(ln_1(cls_part))
-        qkv_g = qkv(ln_1(grid_part))
-        q_c, k_c, v_c = jnp.split(qkv_c, 3, axis=-1)
-        q_g, k_g, v_g = jnp.split(qkv_g, 3, axis=-1)
-        attn_c, attn_g = windowed_mha_split(
-            q_c, k_c, v_c, q_g, k_g, v_g, num_heads=self.num_heads,
-            grid_hw=self.grid_hw, window=self.window, impl=self.attn_impl,
-        )
-        out_proj = dense(dim, dtype=self.dtype, name="out_proj")
-        cls_part = cls_part + out_proj(attn_c)
-        grid_part = grid_part + out_proj(attn_g)
-        ln_2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")
-        mlp = MlpBlock(self.mlp_dim, dim, dtype=self.dtype,
-                       quantize=self.quantize, name="mlp")
-        cls_part = cls_part + mlp(ln_2(cls_part))
-        grid_part = grid_part + mlp(ln_2(grid_part))
-        return cls_part, grid_part
-
-
 class VisionTransformer(nn.Module):
     """ViT backbone returning tapped intermediate token sequences.
 
@@ -198,10 +151,6 @@ class VisionTransformer(nn.Module):
     # when the patch grid is not divisible by the window.
     attn_window: int = 0
     global_attn_indices: Sequence[int] = None
-    # Windowed blocks carry the sequence as split (cls, grid) parts —
-    # numerically identical (tests/test_windowed_attention.py); flag kept
-    # for within-run A/Bs of the representation.
-    split_windowed: bool = True
     # Global blocks: average-pool K/V grid tokens by this factor (PVT-style
     # spatial-reduction attention) — shrinks the S x S logits pool^2-fold.
     # Only applied to unpadded grid sequences (native mode); 0 = off.
@@ -302,51 +251,29 @@ class VisionTransformer(nn.Module):
         tap_set = set(self.tap_indices)
         max_tap = max(tap_set)
         block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
-        split_cls = (nn.remat(SplitEncoderBlock) if self.remat
-                     else SplitEncoderBlock)
-        # Native windowed mode: carry the sequence SPLIT as (cls, grid) so
-        # windowed blocks never slice/concat the big grid tensor; global
-        # blocks (and taps) reassemble it on demand.
-        use_split = bool(window) and self.split_windowed
-        if use_split:
-            cls_part, grid_part = x[:, :1, :], x[:, 1:, :]
-            x = None
+        # NOTE: a split (cls, grid) sequence representation for windowed
+        # blocks (no per-layer [:, 1:] slices around the window kernel) was
+        # built and A/B'd within one run on the real chip: 111.9 ms vs
+        # 110.6 ms whole — reproducibly ~1% SLOWER.  XLA already elides the
+        # slice/concat traffic by fusing it into the qkv split copies, and
+        # the split CLS attention costs more than the saving.  Removed;
+        # measurement recorded in docs/PERF_STUDY.md.
         for i in range(self.num_layers):
-            is_global = i in global_set
-            if use_split and not is_global:
-                cls_part, grid_part = split_cls(
-                    num_heads=self.num_heads,
-                    mlp_dim=self.mlp_dim,
-                    dtype=self.dtype,
-                    attn_impl=self.attn_impl,
-                    window=window,
-                    grid_hw=(n_h, n_w),
-                    quantize=self.quantize,
-                    name=f"block_{i}",
-                )(cls_part, grid_part)
-                x = None
-            else:
-                if use_split and x is None:
-                    x = jnp.concatenate([cls_part, grid_part], axis=1)
-                x = block_cls(
-                    num_heads=self.num_heads,
-                    mlp_dim=self.mlp_dim,
-                    dtype=self.dtype,
-                    attn_impl=self.attn_impl,
-                    valid_len=valid_len,
-                    window=0 if is_global else window,
-                    grid_hw=(n_h, n_w),
-                    global_pool=(self.attn_global_pool
-                                 if valid_len is None and seq == 1 + n_h * n_w
-                                 else 0),
-                    quantize=self.quantize,
-                    name=f"block_{i}",
-                )(x)
-                if use_split:
-                    cls_part, grid_part = x[:, :1, :], x[:, 1:, :]
+            x = block_cls(
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                valid_len=valid_len,
+                window=0 if i in global_set else window,
+                grid_hw=(n_h, n_w),
+                global_pool=(self.attn_global_pool
+                             if valid_len is None and seq == 1 + n_h * n_w
+                             else 0),
+                quantize=self.quantize,
+                name=f"block_{i}",
+            )(x)
             if i in tap_set:
-                if x is None:
-                    x = jnp.concatenate([cls_part, grid_part], axis=1)
                 taps.append(x[:, :seq, :] if valid_len is not None else x)
             if i == max_tap and len(taps) == len(tap_set):
                 # Remaining blocks (and the final LN) don't feed the decoder;

@@ -11,8 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import nn as jnn
 
-__all__ = ["multi_head_attention", "spatial_self_attention", "windowed_mha",
-           "windowed_mha_split"]
+__all__ = ["multi_head_attention", "spatial_self_attention", "windowed_mha"]
 
 
 def _mha_xla(q, k, v, num_heads: int, valid_len=None):
@@ -114,65 +113,6 @@ def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
                       .transpose(0, 1, 3, 2, 4, 5)
                       .reshape(b, nh * nw, d))
     return jnp.concatenate([cls_out, grid_out], axis=1)
-
-
-def windowed_mha_split(q_cls, k_cls, v_cls, q_grid, k_grid, v_grid, *,
-                       num_heads: int, grid_hw, window: int,
-                       impl: str = "xla"):
-    """`windowed_mha` over a SPLIT (cls, grid) sequence representation.
-
-    Numerically identical to windowed_mha on the concatenated sequence, but
-    the grid tokens go straight into the window kernel with no [:, 1:]
-    slice-copies, and the CLS row's softmax over [cls | grid] is assembled
-    from two logit pieces instead of concatenating K/V
-    (monodepth_tpu/models/vit.py native windowed path).
-
-    Returns (cls_out [B, 1, D], grid_out [B, nh*nw, D]).
-    """
-    b, _, d = q_cls.shape
-    hd = d // num_heads
-
-    def heads(x):
-        return x.reshape(b, x.shape[1], num_heads, hd)
-
-    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32)).astype(q_cls.dtype)
-    qc = heads(q_cls) * scale
-    l_cls = jnp.einsum("bqhd,bkhd->bhqk", qc, heads(k_cls),
-                       preferred_element_type=jnp.float32)   # [B,H,1,1]
-    l_grid = jnp.einsum("bqhd,bkhd->bhqk", qc, heads(k_grid),
-                        preferred_element_type=jnp.float32)  # [B,H,1,S]
-    logits = jnp.concatenate([l_cls, l_grid], axis=-1)
-    w = jnn.softmax(logits, axis=-1).astype(v_cls.dtype)
-    out_c = jnp.einsum("bhqk,bkhd->bqhd", w[..., :1], heads(v_cls),
-                       preferred_element_type=jnp.float32)
-    out_g = jnp.einsum("bhqk,bkhd->bqhd", w[..., 1:], heads(v_grid),
-                       preferred_element_type=jnp.float32)
-    cls_out = (out_c + out_g).astype(v_cls.dtype).reshape(b, 1, d)
-
-    if impl == "pallas":
-        import jax
-
-        from monodepth_tpu.ops.pallas.attention import fused_window_mha
-
-        grid_out = fused_window_mha(q_grid, k_grid, v_grid,
-                                    num_heads=num_heads, grid_hw=grid_hw,
-                                    window=window,
-                                    interpret=jax.default_backend() == "cpu")
-    else:
-        nh, nw = grid_hw
-        gh, gw = nh // window, nw // window
-
-        def to_windows(x):
-            xg = x.reshape(b, gh, window, gw, window, d)
-            return (xg.transpose(0, 1, 3, 2, 4, 5)
-                      .reshape(b * gh * gw, window * window, d))
-
-        ow = _mha_xla(to_windows(q_grid), to_windows(k_grid),
-                      to_windows(v_grid), num_heads)
-        grid_out = (ow.reshape(b, gh, gw, window, window, d)
-                      .transpose(0, 1, 3, 2, 4, 5)
-                      .reshape(b, nh * nw, d))
-    return cls_out, grid_out
 
 
 def spatial_self_attention(query, key, value, x, gamma, *, impl: str = "xla"):

@@ -192,50 +192,6 @@ def test_native_model_with_global_pool_runs(rng):
     np.testing.assert_array_equal(d1, d2)
 
 
-def test_windowed_mha_split_matches_whole(rng):
-    """windowed_mha_split on (cls, grid) parts == windowed_mha on the
-    concatenated sequence (both impls)."""
-    from monodepth_tpu.ops.attention import windowed_mha, windowed_mha_split
-
-    b, nh, nw, d, heads, window = 2, 8, 12, 96, 6, 4
-    s = 1 + nh * nw
-    q, k, v = (jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
-               for _ in range(3))
-    for impl in ("xla", "pallas"):
-        whole = windowed_mha(q, k, v, num_heads=heads, grid_hw=(nh, nw),
-                             window=window, impl=impl)
-        cls_o, grid_o = windowed_mha_split(
-            q[:, :1], k[:, :1], v[:, :1], q[:, 1:], k[:, 1:], v[:, 1:],
-            num_heads=heads, grid_hw=(nh, nw), window=window, impl=impl)
-        got = jnp.concatenate([cls_o, grid_o], axis=1)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(whole),
-                                   atol=2e-5, err_msg=impl)
-
-
-def test_split_encoder_block_matches_whole(rng):
-    """SplitEncoderBlock shares EncoderBlock's param tree and reproduces it
-    exactly on a split sequence (the native windowed fast path)."""
-    from monodepth_tpu.models.vit import EncoderBlock, SplitEncoderBlock
-
-    b, nh, nw, d, heads, window = 1, 8, 8, 64, 4, 4
-    s = 1 + nh * nw
-    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
-    whole_block = EncoderBlock(num_heads=heads, mlp_dim=128,
-                               grid_hw=(nh, nw), window=window)
-    variables = whole_block.init(jax.random.PRNGKey(0), x)
-    want = np.asarray(whole_block.apply(variables, x))
-
-    split_block = SplitEncoderBlock(num_heads=heads, mlp_dim=128,
-                                    grid_hw=(nh, nw), window=window)
-    cls_o, grid_o = split_block.apply(variables, x[:, :1], x[:, 1:])
-    got = np.concatenate([np.asarray(cls_o), np.asarray(grid_o)], axis=1)
-    np.testing.assert_allclose(got, want, atol=2e-5)
-    # param trees are interchangeable in both directions
-    sv = split_block.init(jax.random.PRNGKey(1), x[:, :1], x[:, 1:])
-    assert jax.tree_util.tree_structure(sv) == \
-        jax.tree_util.tree_structure(variables)
-
-
 def test_global_pool_active_despite_seq_pad_multiple(rng):
     """ADVICE r2: --native_resolution --attn_window 0 --global_pool 2 must
     actually pool even when seq_pad_multiple would pad the sequence (the

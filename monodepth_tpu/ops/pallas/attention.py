@@ -323,7 +323,7 @@ def _window_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
 
 
 def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
-                     interpret: bool = False, heads_per_block: int = 12):
+                     interpret: bool = False, heads_per_block: int = 6):
     """ViTDet window-local MHA over grid tokens [B, nh*nw, D] (no CLS).
 
     Each grid program computes one row of windows x `heads_per_block` heads
@@ -332,6 +332,9 @@ def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
     transpose, and per-program work is large enough to amortize dispatch
     (the one-window-per-program variant measured 17 us/program against
     ~8 us of compute).  Numerically equivalent to _mha_xla per window.
+
+    heads_per_block sweep on chip (b8, 4096 tokens, window 16):
+    hpb 12 -> 2.19 ms, 6 -> 2.05, 4 -> 2.10, 2 -> 2.82; default 6.
     """
     b, s, dim = q.shape
     nh, nw = grid_hw

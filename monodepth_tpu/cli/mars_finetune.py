@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--smoothness_weight", type=float, default=0.001)
     p.add_argument("--save_dir", type=str, default="./checkpoints")
     p.add_argument("--checkpoint_every", type=int, default=5)
+    p.add_argument("--checkpoint_every_steps", type=int, default=0,
+                   help="> 0: also checkpoint every N optimizer steps WITH "
+                        "the data-loader position (grain backend), so a "
+                        "preempted run resumes mid-epoch without replaying "
+                        "or skipping batches")
     p.add_argument("--enhanced_model", action="store_true")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
@@ -107,6 +112,7 @@ def main(argv=None):
         loss_mode=args.loss_mode,
         checkpoint_dir=args.save_dir,
         checkpoint_every=args.checkpoint_every,
+        checkpoint_every_steps=args.checkpoint_every_steps,
         seed=args.seed,
         resume=args.resume,
         loader_backend=args.loader_backend,

@@ -98,6 +98,11 @@ class TrainConfig:
     loss_mode: str = "reference"
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5
+    # > 0: ALSO checkpoint every N optimizer steps WITH the data-loader
+    # position (grain backend only), so a preempted run resumes mid-epoch
+    # without replaying or skipping batches.  0 = epoch-boundary only
+    # (reference cadence).
+    checkpoint_every_steps: int = 0
     num_workers: int = 4
     # Host input pipeline: 'numpy' (NumpyLoader fork pool) or 'grain'
     # (Google Grain, data/grain_pipeline.py — deterministic per-record RNG,

@@ -54,6 +54,12 @@ class _DecodeAugmentSource:
     def __getitem__(self, index: int):
         return int(index)  # defer decode to the transform (needs the rng)
 
+    def __repr__(self) -> str:
+        # grain validates repr(data_source) when restoring iterator state;
+        # the default repr embeds the object address and would reject every
+        # cross-process resume.  Identify the source by its stable contents.
+        return f"_DecodeAugmentSource(num_records={len(self._ds)})"
+
 
 def _make_load_transform(dataset):
     """grain RandomMapTransform: decode + augment + normalize one record

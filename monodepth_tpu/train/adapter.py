@@ -17,6 +17,7 @@ rebuilt TPU-first:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Dict, Optional
@@ -244,7 +245,15 @@ class MarsDomainAdapter:
             "opt_state": self.opt_state,
             "step": self.step,
             "epoch": self.epoch,
+            "rng": self._rng,
         }
+
+    def _data_state_path(self) -> str:
+        # per-host file: each process's loader shard has its own position
+        from monodepth_tpu.parallel.distributed import process_index
+
+        return os.path.join(self.cfg.checkpoint_dir,
+                            f"data_state_p{process_index()}.json")
 
     def _try_resume(self):
         restored = self._ckpt_mgr.restore(template=self._state_dict())
@@ -254,7 +263,19 @@ class MarsDomainAdapter:
             self.opt_state = restored["opt_state"]
             self.step = int(restored["step"])
             self.epoch = int(restored["epoch"])
+            self._rng = jnp.asarray(restored["rng"])
             print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}")
+            # mid-epoch data state (grain backend): resume the loader
+            # exactly after the last consumed batch
+            path = self._data_state_path()
+            if os.path.exists(path):
+                import json
+
+                with open(path) as f:
+                    data = json.load(f)
+                if int(data.get("step", -1)) == self.step:
+                    self._pending_data_state = data["loader"]
+                    print(f"  + mid-epoch data state (step {self.step})")
 
     def save_model(self, step: Optional[int] = None):
         from monodepth_tpu.parallel.distributed import is_primary
@@ -286,7 +307,18 @@ class MarsDomainAdapter:
     def train_one_epoch(self) -> Dict[str, float]:
         totals = {"total": 0.0, "depth": 0.0, "smoothness": 0.0}
         n = 0
-        for batch in self.train_loader:
+        every = self.cfg.checkpoint_every_steps
+        ckpt_it = None
+        if (every and self._ckpt_mgr is not None
+                and hasattr(self.train_loader, "checkpointable_iter")):
+            ckpt_it = self.train_loader.checkpointable_iter(
+                epoch=self.epoch, state=getattr(self, "_pending_data_state",
+                                                None))
+            self._pending_data_state = None
+            batches = ckpt_it
+        else:
+            batches = self.train_loader
+        for batch in batches:
             images, scales = self._prep_batch(batch)
             self._rng, step_rng = jax.random.split(self._rng)
             self.params, self.batch_stats, self.opt_state, losses = self._train_step(
@@ -296,6 +328,16 @@ class MarsDomainAdapter:
             n += 1
             for k in totals:
                 totals[k] += float(losses[k])
+            if ckpt_it is not None and self.step % every == 0:
+                import json
+
+                self.save_model()
+                with open(self._data_state_path(), "w") as f:
+                    json.dump({"step": self.step,
+                               "loader": ckpt_it.get_state()}, f)
+        if ckpt_it is not None and os.path.exists(self._data_state_path()):
+            # epoch completed: any mid-epoch data state is stale
+            os.remove(self._data_state_path())
         return {k: v / max(n, 1) for k, v in totals.items()}
 
     def validate(self):

@@ -101,6 +101,56 @@ def test_adapter_resume(tiny_data, tmp_path):
     assert adapter2.epoch == 1
 
 
+def test_midepoch_checkpoint_resume_matches_uninterrupted(tiny_data, tmp_path):
+    """Preemption-safe training (grain backend): kill a run mid-epoch after
+    a step checkpoint, resume in a NEW process-equivalent adapter, and the
+    final params equal the uninterrupted run exactly (same batches in the
+    same order with the same RNG stream — no replayed or skipped data)."""
+    import os
+
+    import jax
+
+    def cfg_for(sub, **kw):
+        return _tiny_cfg(tmp_path / sub, data_dir=tiny_data,
+                         loader_backend="grain", **kw)
+
+    # reference: uninterrupted single epoch (2 steps with batch 2 over 4)
+    ref = MarsDomainAdapter(cfg_for("ref"))
+    ref.finetune(1)
+    ref_leaves = jax.tree_util.tree_leaves(ref.params)
+
+    # preempted run: checkpoint every step, crash before step 2
+    cfg_a = cfg_for("mid", checkpoint_every_steps=1)
+    a = MarsDomainAdapter(cfg_a)
+    real_step = a._train_step
+    calls = {"n": 0}
+
+    def crashing_step(*args):
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("preempted")
+        calls["n"] += 1
+        return real_step(*args)
+
+    a._train_step = crashing_step
+    with pytest.raises(KeyboardInterrupt):
+        a.finetune(1)
+    assert a.step == 1
+    assert os.path.exists(a._data_state_path())
+
+    # resume and finish the epoch
+    b = MarsDomainAdapter(cfg_for("mid", checkpoint_every_steps=1,
+                                  resume=True))
+    assert b.step == 1 and b.epoch == 0
+    assert getattr(b, "_pending_data_state", None) is not None
+    b.finetune(1)
+    assert b.step == ref.step
+    assert not os.path.exists(b._data_state_path())  # cleared at epoch end
+
+    for rl, bl in zip(ref_leaves, jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_allclose(np.asarray(rl), np.asarray(bl),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_encoder_lr_is_lower(tiny_data, tmp_path):
     """The encoder param group must move ~10x less than the decoder group
     for comparable gradients (reference mars_adapter.py:49-55)."""

@@ -42,12 +42,12 @@ OPTION_SETS = {
 }
 
 
-def time_compiled(compiled, inputs, repeats):
-    out = compiled(inputs[0])
+def time_compiled(compiled, tvars, inputs, repeats):
+    out = compiled(tvars, inputs[0])
     np.asarray(out)  # warm + sync
     t0 = time.perf_counter()
     for i in range(repeats):
-        out = compiled(inputs[i % len(inputs)])
+        out = compiled(tvars, inputs[i % len(inputs)])
     np.asarray(out)
     return (time.perf_counter() - t0) / repeats
 
@@ -83,10 +83,12 @@ def main():
     ).astype(jnp.bfloat16)) for _ in range(3)]
     tvars = tower.init(jax.random.PRNGKey(1), tokens[0][:1])
 
-    def f(xx):
-        return tower.apply(tvars, xx)[:, :1, :8]
+    # params must be ARGUMENTS, not closure constants: the relay's
+    # /remote_compile rejects HLO protos with ~90M baked-in weights (413)
+    def f(v, xx):
+        return tower.apply(v, xx)[:, :1, :8]
 
-    lowered = jax.jit(f).lower(tokens[0])
+    lowered = jax.jit(f).lower(tvars, tokens[0])
 
     results = {}
     for name, opts in OPTION_SETS.items():
@@ -97,7 +99,7 @@ def main():
             print(f"{name:20s}: COMPILE REJECTED ({type(e).__name__}: "
                   f"{str(e)[:120]})", flush=True)
             continue
-        dt = time_compiled(compiled, tokens, repeats)
+        dt = time_compiled(compiled, tvars, tokens, repeats)
         results[name] = dt
         base = results.get("baseline", dt)
         print(f"{name:20s}: {dt*1e3:7.2f} ms  ({dt/base*100:5.1f}% of baseline)",
@@ -110,7 +112,7 @@ def main():
         opts = OPTION_SETS[name]
         compiled = (lowered.compile() if opts is None
                     else lowered.compile(compiler_options=opts))
-        dt = time_compiled(compiled, tokens, repeats)
+        dt = time_compiled(compiled, tvars, tokens, repeats)
         print(f"{name:20s}: {dt*1e3:7.2f} ms", flush=True)
 
 

@@ -217,6 +217,12 @@ def main(argv=None) -> int:
     p.add_argument("--max_queue", type=int, default=256,
                    help="shed load (503 + Retry-After) when this many "
                         "requests are already queued")
+    p.add_argument("--artifact", default=None,
+                   help="serve a frozen AOT artifact dir (cli.export_model) "
+                        "instead of tracing the installed model code: the "
+                        "device runs the pinned StableHLO program; weights "
+                        "still load via --checkpoint.  Clients must send "
+                        "images matching the artifact's traced HxW")
     p.add_argument("--warmup", default="",
                    help="comma-separated HxW shapes to pre-compile at "
                         "startup (e.g. '288x512,512x512') so the first "
@@ -229,21 +235,35 @@ def main(argv=None) -> int:
                          native_patching=args.native_resolution,
                          quantize=args.quantize)
     estimator = MarsDepthEstimator(config)
-    service = DepthService(estimator, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms,
-                           max_queue=args.max_queue)
-    from monodepth_tpu.serve import bucket_sizes
+    if args.artifact:
+        from monodepth_tpu.export import ArtifactDepthEstimator
 
-    for shape in filter(None, args.warmup.split(",")):
-        h, w = (int(d) for d in shape.lower().split("x"))
+        # frozen program; the live estimator only supplies the weights
+        backend = ArtifactDepthEstimator(args.artifact, estimator.variables)
+        warmup_shapes = [(backend.height, backend.width)]
+        buckets = None
+        if backend.fixed_batch is not None:
+            # fixed-batch program: pad EVERY device batch to exactly it
+            args.max_batch = backend.fixed_batch
+            buckets = [backend.fixed_batch]
+    else:
+        backend = estimator
+        warmup_shapes = [tuple(int(d) for d in s.lower().split("x"))
+                         for s in filter(None, args.warmup.split(","))]
+        buckets = None
+    service = DepthService(backend, max_batch=args.max_batch,
+                           max_wait_ms=args.max_wait_ms,
+                           max_queue=args.max_queue, buckets=buckets)
+    for h, w in warmup_shapes:
         # warm every bucket the MicroBatcher can pad to — it only ever sends
         # these sizes to the device, so no live request pays a cold compile
-        for b in reversed(bucket_sizes(args.max_batch)):
+        for b in reversed(service.batcher._buckets):
             print(f"warmup {h}x{w} batch {b} ...", flush=True)
-            estimator.predict_batch(np.zeros((b, h, w, 3), np.float32))
+            backend.predict_batch(np.zeros((b, h, w, 3), np.float32))
     desc = ("enhanced" if args.enhanced_model else "standard") + \
         ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
-        ("/int8" if args.quantize else "")
+        ("/int8" if args.quantize else "") + \
+        ("/artifact" if args.artifact else "")
     server = make_server(service, args.host, args.port, model_desc=desc)
     print(f"Serving {desc} on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")

@@ -163,3 +163,49 @@ def load_exported(artifact_dir: str) -> ExportedDepthModel:
     with open(os.path.join(artifact_dir, _MANIFEST)) as f:
         manifest = json.load(f)
     return ExportedDepthModel(exported, manifest)
+
+
+class ArtifactDepthEstimator:
+    """Serve from a frozen artifact: MarsDepthEstimator's `predict_batch`
+    surface (serve.py plugs either in) backed by the serialized program —
+    the deployed binary runs a pinned, pre-lowered StableHLO program
+    instead of whatever the installed model code traces today.
+
+    The input contract is the artifact's traced HxW (serving deployments
+    pin their preprocessing size); other shapes raise ValueError, which the
+    HTTP front-end maps to a 400.
+    """
+
+    def __init__(self, artifact_dir: str, variables):
+        self._loaded = load_exported(artifact_dir)
+        self.manifest = self._loaded.manifest
+        self.variables = variables
+        inp = self.manifest["input"]
+        self.height, self.width = int(inp["height"]), int(inp["width"])
+        self.fixed_batch = (None if inp["batch"] == "dynamic"
+                            else int(inp["batch"]))
+
+    def predict_batch(self, images, metadatas=None):
+        from monodepth_tpu.inference import preprocess_image
+        from monodepth_tpu.models import disp_scale_factor
+
+        x = np.stack([preprocess_image(im) for im in images])
+        if x.shape[1:3] != (self.height, self.width):
+            raise ValueError(
+                f"artifact serves {self.height}x{self.width} inputs, got "
+                f"{x.shape[1]}x{x.shape[2]} (export a new artifact or "
+                f"resize upstream)")
+        b = x.shape[0]
+        if self.fixed_batch is not None and b != self.fixed_batch:
+            raise ValueError(
+                f"artifact serves batch={self.fixed_batch}, got {b}")
+        if metadatas is None:
+            scales = np.ones((b,), np.float32)
+        else:
+            scales = np.asarray(
+                [disp_scale_factor(m) for m in metadatas], np.float32)
+        disp = np.asarray(self._loaded.predict(self.variables, x, scales),
+                          dtype=np.float32)
+        # raw-reciprocal depth contract (inference.py:176 / run_mars_depth.py:137)
+        depth = 1.0 / np.clip(disp, 1e-6, None)
+        return {"disp": disp, "depth": depth}

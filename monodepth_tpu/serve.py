@@ -69,7 +69,9 @@ class MicroBatcher:
 
     def __init__(self, predict_batch_fn, *, max_batch: int = 8,
                  max_wait_ms: float = 5.0, pad_to_bucket: bool = True,
-                 max_queue: int = 256):
+                 max_queue: int = 256, buckets: Optional[Sequence[int]] = None):
+        # buckets: override the padded batch sizes (default powers of two);
+        # e.g. [8] pads EVERY batch to 8 for a fixed-batch AOT artifact.
         assert max_batch >= 1
         self.max_queue = max_queue
         self.shed = 0  # requests rejected due to overload
@@ -81,7 +83,10 @@ class MicroBatcher:
         # cache; an unwarmed intermediate size would stall the worker for the
         # full remote compile and time out every queued client.
         self.pad_to_bucket = pad_to_bucket
-        self._buckets = bucket_sizes(max_batch)
+        self._buckets = (sorted(buckets) if buckets is not None
+                         else bucket_sizes(max_batch))
+        assert self._buckets[-1] >= max_batch, (
+            "largest bucket must cover max_batch")
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -213,13 +218,14 @@ class DepthService:
 
     def __init__(self, estimator, *, max_batch: int = 8,
                  max_wait_ms: float = 5.0, pad_to_bucket: bool = True,
-                 max_queue: int = 256):
+                 max_queue: int = 256, buckets: Optional[Sequence[int]] = None):
         self.estimator = estimator
         self.batcher = MicroBatcher(estimator.predict_batch,
                                     max_batch=max_batch,
                                     max_wait_ms=max_wait_ms,
                                     pad_to_bucket=pad_to_bucket,
-                                    max_queue=max_queue)
+                                    max_queue=max_queue,
+                                    buckets=buckets)
         self.started_at = time.time()
 
     def predict(self, image, metadata=None, timeout=None):

@@ -66,6 +66,66 @@ def test_export_fixed_batch_rejects_other_sizes(small_model, tmp_path):
         loaded.predict(variables, np.zeros((3, 96, 128, 3), np.float32))
 
 
+def test_artifact_estimator_behind_service(small_model, tmp_path):
+    """ArtifactDepthEstimator plugs into the micro-batching service: the
+    frozen program serves requests with the raw-reciprocal depth contract,
+    and off-contract shapes are rejected."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.export import ArtifactDepthEstimator, export_depth_model
+    from monodepth_tpu.serve import DepthService
+
+    cfg, model, variables = small_model
+    out = export_depth_model(cfg, variables, str(tmp_path / "srv"),
+                             height=96, width=128, batch=None)
+    backend = ArtifactDepthEstimator(out, variables)
+    service = DepthService(backend, max_batch=2, max_wait_ms=20.0)
+    try:
+        rng = np.random.default_rng(1)
+        imgs = [rng.random((96, 128, 3), dtype=np.float32) for _ in range(3)]
+        futs = [service.submit(im, {"source": "rover", "height": 1.5})
+                for im in imgs]
+        results = [f.result(timeout=60) for f in futs]
+        for im, r in zip(imgs, results):
+            assert r["disp"].shape == (96, 128)
+            np.testing.assert_allclose(
+                r["depth"], 1.0 / np.clip(r["disp"], 1e-6, None), rtol=1e-6)
+        # scale metadata must flow through disp_scale_factor
+        from monodepth_tpu.inference import preprocess_image
+        from monodepth_tpu.models import disp_scale_factor
+
+        meta = {"source": "rover", "height": 1.5}
+        want = np.asarray(model.apply(
+            variables, jnp.asarray(preprocess_image(imgs[0])[None]),
+            jnp.asarray([disp_scale_factor(meta)], np.float32)
+        )[("disp", 0)][..., 0])[0]
+        np.testing.assert_allclose(results[0]["disp"], want, atol=1e-5)
+
+        with pytest.raises(ValueError, match="artifact serves"):
+            backend.predict_batch(np.zeros((1, 64, 64, 3), np.float32))
+    finally:
+        service.close()
+
+
+def test_microbatcher_fixed_bucket_pads_every_batch():
+    """buckets=[N] (fixed-batch artifacts) pads every device batch to N."""
+    from monodepth_tpu.serve import MicroBatcher
+
+    seen = []
+
+    def predict(images, metas):
+        seen.append(len(images))
+        return {"disp": np.zeros((len(images), 4, 4), np.float32)}
+
+    mb = MicroBatcher(predict, max_batch=4, max_wait_ms=5.0, buckets=[4])
+    try:
+        fut = mb.submit(np.zeros((4, 4, 3), np.float32))
+        fut.result(timeout=30)
+        assert seen == [4]  # single request still padded to the fixed batch
+    finally:
+        mb.close()
+
+
 def test_export_cli(small_model, tmp_path, monkeypatch):
     """The CLI exports + self-verifies against the live estimator."""
     from monodepth_tpu.cli.export_model import main

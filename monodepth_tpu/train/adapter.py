@@ -398,7 +398,10 @@ class MarsDomainAdapter:
                             "metrics": val_metrics})
 
             if (epoch + 1) % self.cfg.checkpoint_every == 0 or epoch == num_epochs - 1:
-                self.save_model(epoch + 1)
+                # keyed by optimizer step (NOT epoch number): step-cadence and
+                # epoch-boundary saves share one keyspace, so latest_step()
+                # must order them correctly for resume
+                self.save_model()
         logger.close()
         print("Mars domain adaptation completed!")
         return {"history": history}

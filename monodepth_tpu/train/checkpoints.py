@@ -33,6 +33,11 @@ class CheckpointManager:
 
     def save(self, step: int, state: Dict[str, Any]):
         state = jax.tree_util.tree_map(np.asarray, state)
+        # re-saving an existing step replaces it (an epoch-boundary save can
+        # land on the same optimizer step as the preceding step-cadence save,
+        # with a later RNG/epoch state — the newer state must win)
+        if step in (self._mgr.all_steps() or []):
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 

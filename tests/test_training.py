@@ -85,7 +85,8 @@ def test_adapter_trains_and_checkpoints(tiny_data, tmp_path):
     assert set(h["metrics"]) == set(MarsDomainAdapter.METRIC_NAMES)
     p1 = np.asarray(jax.tree_util.tree_leaves(adapter.params)[0])
     assert not np.allclose(p0, p1), "parameters did not update"
-    assert adapter._ckpt_mgr.latest_step() == 1
+    # checkpoints key by optimizer step (one keyspace with step-cadence saves)
+    assert adapter._ckpt_mgr.latest_step() == adapter.step
 
 
 def test_adapter_resume(tiny_data, tmp_path):
@@ -149,6 +150,25 @@ def test_midepoch_checkpoint_resume_matches_uninterrupted(tiny_data, tmp_path):
     for rl, bl in zip(ref_leaves, jax.tree_util.tree_leaves(b.params)):
         np.testing.assert_allclose(np.asarray(rl), np.asarray(bl),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_step_and_epoch_checkpoints_share_ordered_keyspace(tiny_data, tmp_path):
+    """Step-cadence and epoch-boundary saves both key by optimizer step: the
+    epoch-boundary save (later RNG/epoch state, same step) replaces the
+    step-cadence one, and resume restores the completed-epoch state instead
+    of a stale mid-epoch one (which would silently replay the epoch)."""
+    cfg = _tiny_cfg(tmp_path / "ck", data_dir=tiny_data,
+                    loader_backend="grain", checkpoint_every_steps=1)
+    a = MarsDomainAdapter(cfg)
+    a.finetune(1)
+    assert a.epoch == 1
+
+    b = MarsDomainAdapter(_tiny_cfg(tmp_path / "ck", data_dir=tiny_data,
+                                    loader_backend="grain",
+                                    checkpoint_every_steps=1, resume=True))
+    assert b.epoch == 1          # post-epoch state won, not the step save
+    assert b.step == a.step
+    assert getattr(b, "_pending_data_state", None) is None
 
 
 def test_encoder_lr_is_lower(tiny_data, tmp_path):

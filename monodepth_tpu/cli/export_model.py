@@ -28,9 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--native_resolution", action="store_true")
     p.add_argument("--attn_window", type=int, default=16)
     p.add_argument("--checkpoint", type=str, default=None,
-                   help="Optional reference .pth / orbax checkpoint used "
-                        "only for tracing shapes (weights still load at "
-                        "call time)")
+                   help="Optional reference .pth / orbax checkpoint — only "
+                        "loaded when --verify runs the live model; export "
+                        "itself is weightless (shapes via jax.eval_shape) "
+                        "and weights always load at artifact call time")
     p.add_argument("--platforms", type=str, default=None,
                    help="Comma-separated lowering platforms, e.g. tpu,cpu "
                         "(default: current backend)")
@@ -49,19 +50,34 @@ def main(argv=None):
 
     from monodepth_tpu.config import ModelConfig
     from monodepth_tpu.export import export_depth_model, load_exported
-    from monodepth_tpu.inference import MarsDepthEstimator
 
     cfg = ModelConfig(
         enhanced=args.enhanced_model, dtype=args.dtype,
         native_patching=args.native_resolution,
         attn_window=args.attn_window, checkpoint=args.checkpoint,
     )
-    estimator = MarsDepthEstimator(cfg)
+    estimator = None
+    if args.verify:
+        from monodepth_tpu.inference import MarsDepthEstimator
+
+        estimator = MarsDepthEstimator(cfg)
+        variables = estimator.variables
+    else:
+        # export needs only variable SHAPES: eval_shape traces init without
+        # allocating or loading any weights (no pretrained fetch, no ~350 MB
+        # device_put on a deploy box)
+        from monodepth_tpu.models import build_model
+
+        model = build_model(cfg)
+        variables = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, args.height, args.width, 3), jnp.float32),
+        )
     batch = None if args.batch == "dynamic" else int(args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
 
     out = export_depth_model(
-        cfg, estimator.variables, args.output_dir,
+        cfg, variables, args.output_dir,
         height=args.height, width=args.width, batch=batch,
         platforms=platforms,
     )

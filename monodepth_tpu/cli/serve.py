@@ -48,11 +48,18 @@ from monodepth_tpu.serve import DepthService, ServiceOverloaded
 __all__ = ["make_server", "main"]
 
 
-def _decode_image(data: bytes, max_size: int) -> np.ndarray:
+def _decode_image(data: bytes, max_size: int,
+                  fixed_shape=None) -> np.ndarray:
     from PIL import Image
 
     img = Image.open(io.BytesIO(data)).convert("RGB")
-    if max_size and max(img.size) > max_size:
+    if fixed_shape is not None:
+        # artifact serving: the program is traced at one HxW, so the server
+        # owns the resize to that contract (clients send any image)
+        h, w = fixed_shape
+        if img.size != (w, h):
+            img = img.resize((w, h), Image.LANCZOS)
+    elif max_size and max(img.size) > max_size:
         scale = max_size / max(img.size)
         img = img.resize((int(img.size[0] * scale), int(img.size[1] * scale)),
                          Image.LANCZOS)
@@ -60,7 +67,8 @@ def _decode_image(data: bytes, max_size: int) -> np.ndarray:
 
 
 def make_server(service: DepthService, host: str = "127.0.0.1",
-                port: int = 8500, model_desc: str = "standard"):
+                port: int = 8500, model_desc: str = "standard",
+                fixed_shape=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
@@ -102,7 +110,8 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 self._json(400, {"error": "empty body"})
                 return
             try:
-                image = _decode_image(self.rfile.read(length), max_size)
+                image = _decode_image(self.rfile.read(length), max_size,
+                                      fixed_shape)
             except Exception as e:
                 self._json(400, {"error": f"bad image: {e}"})
                 return
@@ -117,6 +126,11 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                return
+            except ValueError as e:
+                # contract violations (e.g. artifact input shape) are the
+                # client's error, not a server failure
+                self._json(400, {"error": str(e)})
                 return
             except Exception as e:  # pragma: no cover - device failures
                 self._json(500, {"error": str(e)})
@@ -159,7 +173,8 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 while off < len(body):
                     (n,) = struct.unpack(">Q", body[off:off + 8])
                     off += 8
-                    images.append(_decode_image(body[off:off + n], max_size))
+                    images.append(_decode_image(body[off:off + n], max_size,
+                                                fixed_shape))
                     off += n
             except Exception as e:
                 self._json(400, {"error": f"bad stream body: {e}"})
@@ -235,17 +250,27 @@ def main(argv=None) -> int:
                          native_patching=args.native_resolution,
                          quantize=args.quantize)
     estimator = MarsDepthEstimator(config)
+    fixed_shape = None
     if args.artifact:
         from monodepth_tpu.export import ArtifactDepthEstimator
 
         # frozen program; the live estimator only supplies the weights
         backend = ArtifactDepthEstimator(args.artifact, estimator.variables)
-        warmup_shapes = [(backend.height, backend.width)]
+        fixed_shape = (backend.height, backend.width)
+        if args.warmup:
+            print(f"--warmup {args.warmup!r} ignored: the artifact is traced "
+                  f"at exactly {backend.height}x{backend.width}")
+        warmup_shapes = [fixed_shape]
         buckets = None
         if backend.fixed_batch is not None:
             # fixed-batch program: pad EVERY device batch to exactly it
+            if args.max_batch != backend.fixed_batch:
+                print(f"--max_batch {args.max_batch} overridden to the "
+                      f"artifact's fixed batch {backend.fixed_batch}")
             args.max_batch = backend.fixed_batch
             buckets = [backend.fixed_batch]
+        print(f"artifact serving: inputs are resized server-side to "
+              f"{backend.height}x{backend.width} (the traced contract)")
     else:
         backend = estimator
         warmup_shapes = [tuple(int(d) for d in s.lower().split("x"))
@@ -264,7 +289,8 @@ def main(argv=None) -> int:
         ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
         ("/int8" if args.quantize else "") + \
         ("/artifact" if args.artifact else "")
-    server = make_server(service, args.host, args.port, model_desc=desc)
+    server = make_server(service, args.host, args.port, model_desc=desc,
+                         fixed_shape=fixed_shape)
     print(f"Serving {desc} on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     try:

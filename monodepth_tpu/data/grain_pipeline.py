@@ -57,8 +57,20 @@ class _DecodeAugmentSource:
     def __repr__(self) -> str:
         # grain validates repr(data_source) when restoring iterator state;
         # the default repr embeds the object address and would reject every
-        # cross-process resume.  Identify the source by its stable contents.
-        return f"_DecodeAugmentSource(num_records={len(self._ds)})"
+        # cross-process resume.  Identify the source by its stable CONTENTS
+        # — record count alone would accept a resume against a different
+        # dataset of the same length, silently training on wrong data with
+        # a stale shuffle order; fingerprint the record paths instead.
+        import hashlib
+        import os
+
+        root = getattr(self._ds, "data_path", "")
+        paths = "\n".join(
+            os.path.relpath(s["path"], root) if root else s["path"]
+            for s in getattr(self._ds, "samples", []))
+        digest = hashlib.sha1(paths.encode()).hexdigest()[:12]
+        return (f"_DecodeAugmentSource(num_records={len(self._ds)}, "
+                f"fingerprint={digest})")
 
 
 def _make_load_transform(dataset):

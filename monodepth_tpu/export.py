@@ -40,25 +40,12 @@ _MANIFEST = "manifest.json"
 
 
 def _build_model(cfg):
-    import jax.numpy as jnp
+    from monodepth_tpu.models import build_model
 
-    from monodepth_tpu.models import DepthAnything, EnhancedDepthAnything
-
-    model_cls = EnhancedDepthAnything if cfg.enhanced else DepthAnything
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    attn_impl = cfg.attn_impl
-    if attn_impl == "auto":
-        attn_impl = "pallas" if cfg.native_patching else "xla"
-    kwargs = dict(
-        dtype=dtype, attn_impl=attn_impl,
-        native_patching=cfg.native_patching,
-        attn_window=cfg.attn_window,
-        attn_global_pool=cfg.attn_global_pool,
-        seq_pad_multiple=cfg.seq_pad_multiple,
-    )
-    if not cfg.enhanced:
-        kwargs["output_scales"] = (0,)  # export serves scale 0 only
-    return model_cls(**kwargs)
+    # export serves scale 0 only (standard model); every other knob —
+    # including quantize — comes from the shared factory so the artifact
+    # program matches what the live estimator would run
+    return build_model(cfg, output_scales=(0,))
 
 
 def export_depth_model(cfg, variables, out_dir: str, *,
@@ -94,8 +81,10 @@ def export_depth_model(cfg, variables, out_dir: str, *,
         b = int(batch)
     img_spec = jax.ShapeDtypeStruct((b, height, width, 3), np.float32)
     scale_spec = jax.ShapeDtypeStruct((b,), np.float32)
+    # .shape/.dtype work for real arrays AND jax.ShapeDtypeStruct leaves
+    # (the CLI passes eval_shape output when exporting without weights)
     var_specs = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables
     )
 
     kwargs = {}

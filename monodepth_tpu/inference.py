@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from monodepth_tpu.config import ModelConfig
-from monodepth_tpu.models import DepthAnything, EnhancedDepthAnything, disp_scale_factor
+from monodepth_tpu.models import disp_scale_factor
 from monodepth_tpu.models import weights as weights_lib
 
 __all__ = ["MarsDepthEstimator", "detect_source", "load_image", "preprocess_image"]
@@ -83,27 +83,9 @@ class MarsDepthEstimator:
 
     def __init__(self, config: Optional[ModelConfig] = None, seed: int = 0):
         self.config = config or ModelConfig()
-        dtype = jnp.bfloat16 if self.config.dtype == "bfloat16" else jnp.float32
-        cls = EnhancedDepthAnything if self.config.enhanced else DepthAnything
-        attn_impl = self.config.attn_impl
-        if attn_impl == "auto":
-            # measured on v5e: XLA wins in-tower at the parity path's
-            # 197-208 tokens; the fused Pallas kernels (flash/windowed/SRA)
-            # win at native-resolution 4096 tokens (docs/PERF_STUDY.md)
-            attn_impl = "pallas" if self.config.native_patching else "xla"
-        kwargs = {}
-        if self.config.enhanced:
-            kwargs["light_outputs"] = self.config.light_outputs
-        self.model = cls(
-            dtype=dtype,
-            attn_impl=attn_impl,
-            native_patching=self.config.native_patching,
-            seq_pad_multiple=self.config.seq_pad_multiple,
-            attn_window=self.config.attn_window,
-            attn_global_pool=self.config.attn_global_pool,
-            quantize=self.config.quantize,
-            **kwargs,
-        )
+        from monodepth_tpu.models import build_model
+
+        self.model = build_model(self.config)
         self.variables = self._init_variables(seed)
 
     # ------------------------------------------------------------- params

@@ -9,3 +9,38 @@ from monodepth_tpu.models.encoder import DepthAnythingEncoder  # noqa: F401
 from monodepth_tpu.models.decoder import DepthAnythingDecoder  # noqa: F401
 from monodepth_tpu.models.model import DepthAnything, disp_scale_factor  # noqa: F401
 from monodepth_tpu.models.enhanced import EnhancedDepthAnything  # noqa: F401
+
+
+def build_model(cfg, *, output_scales=None):
+    """ONE place that turns a ModelConfig into a model instance.
+
+    inference.py, train/adapter.py and export.py all construct models from
+    the same config; hand-rolled copies drifted (an export once silently
+    dropped `quantize`), so every knob now routes through here.
+
+    output_scales: standard model only — restrict served scales (export
+    uses (0,)); None keeps the full reference output contract.
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    attn_impl = cfg.attn_impl
+    if attn_impl == "auto":
+        # measured on v5e: XLA wins in-tower at the parity path's 197-208
+        # tokens; the fused Pallas kernels win at 4096 (docs/PERF_STUDY.md)
+        attn_impl = "pallas" if cfg.native_patching else "xla"
+    kwargs = dict(
+        dtype=dtype,
+        attn_impl=attn_impl,
+        native_patching=cfg.native_patching,
+        seq_pad_multiple=cfg.seq_pad_multiple,
+        attn_window=cfg.attn_window,
+        attn_global_pool=cfg.attn_global_pool,
+        quantize=cfg.quantize,
+        remat=cfg.remat,
+    )
+    if cfg.enhanced:
+        return EnhancedDepthAnything(light_outputs=cfg.light_outputs, **kwargs)
+    if output_scales is not None:
+        kwargs["output_scales"] = tuple(output_scales)
+    return DepthAnything(**kwargs)

@@ -29,7 +29,7 @@ from flax.core import unfreeze
 
 from monodepth_tpu.config import TrainConfig
 from monodepth_tpu.layers import compute_depth_errors, disp_to_depth
-from monodepth_tpu.models import DepthAnything, EnhancedDepthAnything, disp_scale_factor
+from monodepth_tpu.models import disp_scale_factor
 from monodepth_tpu.train.losses import compute_losses
 
 __all__ = ["MarsDomainAdapter", "make_optimizer", "make_train_step"]
@@ -164,17 +164,14 @@ class MarsDomainAdapter:
     def __init__(self, cfg: TrainConfig, train_loader=None, val_loader=None,
                  mesh=None):
         self.cfg = cfg
-        model_cls = EnhancedDepthAnything if cfg.model.enhanced else DepthAnything
-        dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
-        attn_impl = cfg.model.attn_impl
-        if attn_impl == "auto":
-            attn_impl = "pallas" if cfg.model.native_patching else "xla"
-        self.model = model_cls(
-            dtype=dtype, attn_impl=attn_impl,
-            native_patching=cfg.model.native_patching,
-            remat=cfg.model.remat,
-            seq_pad_multiple=cfg.model.seq_pad_multiple,
-        )
+        import dataclasses
+
+        from monodepth_tpu.models import build_model
+
+        # quantize is a serving-only knob (per-tensor activation scales are
+        # calibrated for inference); training always runs the full-precision
+        # tower regardless of the config's serving setting
+        self.model = build_model(dataclasses.replace(cfg.model, quantize=""))
 
         if train_loader is None or val_loader is None:
             from monodepth_tpu.data.dataset import get_mars_dataloaders
@@ -238,7 +235,7 @@ class MarsDomainAdapter:
                 self._try_resume()
 
     # ------------------------------------------------------------- state
-    def _state_dict(self):
+    def _state_dict(self, boundary: bool = True):
         return {
             "params": self.params,
             "batch_stats": self.batch_stats,
@@ -246,6 +243,9 @@ class MarsDomainAdapter:
             "step": self.step,
             "epoch": self.epoch,
             "rng": self._rng,
+            # 1 = epoch-boundary state (next epoch starts fresh); 0 = mid-
+            # epoch step-cadence state (needs the sidecar loader position)
+            "boundary": int(boundary),
         }
 
     def _data_state_path(self) -> str:
@@ -255,35 +255,94 @@ class MarsDomainAdapter:
         return os.path.join(self.cfg.checkpoint_dir,
                             f"data_state_p{process_index()}.json")
 
+    def _write_data_state(self, data: dict):
+        """Atomic sidecar write (tmp + rename): a crash mid-write must leave
+        the previous consistent loader position, not a truncated JSON."""
+        import json
+
+        path = self._data_state_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+
+    def _read_data_state(self):
+        import json
+
+        path = self._data_state_path()
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):  # pragma: no cover
+            return None
+
+    def _restore_one(self, key):
+        """Template restore of one checkpoint key; tolerates checkpoints
+        from before the rng/boundary fields existed (legacy saves were all
+        epoch-boundary, with the RNG restarted from the seed)."""
+        template = self._state_dict()
+        try:
+            return self._ckpt_mgr.restore(step=key, template=template)
+        except Exception:
+            legacy = {k: v for k, v in template.items()
+                      if k not in ("rng", "boundary")}
+            restored = self._ckpt_mgr.restore(step=key, template=legacy)
+            restored["rng"] = self._rng
+            restored["boundary"] = 1
+            return restored
+
     def _try_resume(self):
-        restored = self._ckpt_mgr.restore(template=self._state_dict())
-        if restored is not None:
-            self.params = restored["params"]
-            self.batch_stats = restored["batch_stats"]
-            self.opt_state = restored["opt_state"]
-            self.step = int(restored["step"])
-            self.epoch = int(restored["epoch"])
-            self._rng = jnp.asarray(restored["rng"])
-            print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}")
-            # mid-epoch data state (grain backend): resume the loader
-            # exactly after the last consumed batch
-            path = self._data_state_path()
-            if os.path.exists(path):
-                import json
+        """Resume from the newest RESUMABLE checkpoint: an epoch-boundary
+        save, or a step-cadence save whose sidecar loader position matches.
+        A mid-epoch save whose sidecar was lost (crash between the orbax
+        save and the sidecar write) is skipped — falling back one cadence
+        loses at most `checkpoint_every_steps` steps instead of silently
+        re-training the epoch prefix with an inflated step counter."""
+        keys = self._ckpt_mgr.all_steps()
+        if not keys:
+            return
+        sidecar = self._read_data_state()
+        chosen = pending = None
+        for key in reversed(keys):
+            restored = self._restore_one(key)
+            if int(restored.get("boundary", 1)):
+                chosen = restored
+                break
+            if (sidecar is not None
+                    and int(sidecar.get("step", -1)) == int(restored["step"])):
+                chosen, pending = restored, sidecar["loader"]
+                break
+            print(f"  checkpoint key {key}: mid-epoch state without a "
+                  f"matching data-loader position — skipping")
+        if chosen is None:  # every key is an orphaned mid-epoch state
+            chosen = self._restore_one(keys[-1])
+            print("Warning: resuming a mid-epoch checkpoint whose data-"
+                  "loader position is lost; the epoch restarts and some "
+                  "batches will repeat")
+        self.params = chosen["params"]
+        self.batch_stats = chosen["batch_stats"]
+        self.opt_state = chosen["opt_state"]
+        self.step = int(chosen["step"])
+        self.epoch = int(chosen["epoch"])
+        self._rng = jnp.asarray(chosen["rng"])
+        self._pending_data_state = pending
+        print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}"
+              + (" (+ mid-epoch data state)" if pending is not None else ""))
 
-                with open(path) as f:
-                    data = json.load(f)
-                if int(data.get("step", -1)) == self.step:
-                    self._pending_data_state = data["loader"]
-                    print(f"  + mid-epoch data state (step {self.step})")
-
-    def save_model(self, step: Optional[int] = None):
+    def save_model(self, step: Optional[int] = None, boundary: bool = True):
         from monodepth_tpu.parallel.distributed import is_primary
 
         # multi-host: only process 0 writes checkpoints (single-host: always)
-        if self._ckpt_mgr is not None and is_primary():
-            self._ckpt_mgr.save(step if step is not None else self.step,
-                                self._state_dict())
+        if self._ckpt_mgr is None or not is_primary():
+            return
+        fingerprint = (self.step, self.epoch, bool(boundary))
+        if step is None and getattr(self, "_last_saved", None) == fingerprint:
+            return  # identical state already on disk (e.g. CLI's final save)
+        self._ckpt_mgr.save(step if step is not None else self._ckpt_mgr.next_key(),
+                            self._state_dict(boundary))
+        self._last_saved = fingerprint
 
     # ----------------------------------------------------------- batches
     def _prep_batch(self, batch):
@@ -329,15 +388,12 @@ class MarsDomainAdapter:
             for k in totals:
                 totals[k] += float(losses[k])
             if ckpt_it is not None and self.step % every == 0:
-                import json
-
-                self.save_model()
-                with open(self._data_state_path(), "w") as f:
-                    json.dump({"step": self.step,
-                               "loader": ckpt_it.get_state()}, f)
-        if ckpt_it is not None and os.path.exists(self._data_state_path()):
-            # epoch completed: any mid-epoch data state is stale
-            os.remove(self._data_state_path())
+                # orbax first, sidecar second: if preempted between the two,
+                # resume skips the orphaned mid-epoch key and falls back one
+                # cadence (see _try_resume) instead of replaying the epoch
+                self.save_model(boundary=False)
+                self._write_data_state({"step": self.step,
+                                        "loader": ckpt_it.get_state()})
         return {k: v / max(n, 1) for k, v in totals.items()}
 
     def validate(self):
@@ -398,10 +454,11 @@ class MarsDomainAdapter:
                             "metrics": val_metrics})
 
             if (epoch + 1) % self.cfg.checkpoint_every == 0 or epoch == num_epochs - 1:
-                # keyed by optimizer step (NOT epoch number): step-cadence and
-                # epoch-boundary saves share one keyspace, so latest_step()
-                # must order them correctly for resume
-                self.save_model()
+                self.save_model()  # boundary save (monotonic sequence key)
+                # the boundary state supersedes any mid-epoch loader position
+                path = self._data_state_path()
+                if os.path.exists(path):
+                    os.remove(path)
         logger.close()
         print("Mars domain adaptation completed!")
         return {"history": history}

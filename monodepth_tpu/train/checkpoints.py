@@ -32,17 +32,24 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Dict[str, Any]):
+        """Save under a FRESH key — keys are write-once (orbax finalizes a
+        tmp dir atomically, so a crash mid-save can never destroy an
+        existing checkpoint; delete-then-rewrite would)."""
         state = jax.tree_util.tree_map(np.asarray, state)
-        # re-saving an existing step replaces it (an epoch-boundary save can
-        # land on the same optimizer step as the preceding step-cadence save,
-        # with a later RNG/epoch state — the newer state must win)
-        if step in (self._mgr.all_steps() or []):
-            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps() or [])
+
+    def next_key(self) -> int:
+        """Next free monotonic save key (train saves key by sequence, not by
+        optimizer step — the true step/epoch live inside the state)."""
+        latest = self._mgr.latest_step()
+        return 1 if latest is None else latest + 1
 
     def restore(self, step: Optional[int] = None, template: Optional[Dict] = None):
         step = step if step is not None else self._mgr.latest_step()

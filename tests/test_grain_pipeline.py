@@ -113,6 +113,36 @@ def test_checkpointable_iter_mid_epoch_resume(data_root):
     assert not consumed & seen
 
 
+def test_resume_rejects_different_dataset_of_same_length(data_root,
+                                                         tmp_path_factory):
+    """The data-source fingerprint (record paths) guards resume integrity:
+    restoring a loader state against a DIFFERENT dataset that happens to
+    have the same record count must fail loudly, not silently continue on
+    wrong data with a stale shuffle order."""
+    loader = GrainLoader(_ds(data_root), batch_size=4, shuffle=True,
+                         drop_last=True, seed=9)
+    it = loader.checkpointable_iter(epoch=0)
+    next(it)
+    state = it.get_state()
+
+    other_root = tmp_path_factory.mktemp("grain_other")
+    rng = np.random.default_rng(1)
+    d = other_root / "rover" / "train"
+    d.mkdir(parents=True)
+    for i in range(12):  # same length, different records
+        arr = (rng.random((24, 30, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"other_{i:02d}.png")
+    other = GrainLoader(_ds(str(other_root)), batch_size=4, shuffle=True,
+                        drop_last=True, seed=9)
+    with pytest.raises(ValueError, match="[Dd]ata\\s?[Ss]ource"):
+        other.checkpointable_iter(state=state)
+
+    # while the SAME dataset still restores across a fresh loader object
+    same = GrainLoader(_ds(data_root), batch_size=4, shuffle=True,
+                       drop_last=True, seed=9)
+    assert next(same.checkpointable_iter(state=state)) is not None
+
+
 def test_get_mars_dataloaders_grain_backend(data_root):
     tr, va, te = get_mars_dataloaders(data_root, batch_size=4, height=16,
                                       width=20, sources=("rover",),

@@ -85,8 +85,9 @@ def test_adapter_trains_and_checkpoints(tiny_data, tmp_path):
     assert set(h["metrics"]) == set(MarsDomainAdapter.METRIC_NAMES)
     p1 = np.asarray(jax.tree_util.tree_leaves(adapter.params)[0])
     assert not np.allclose(p0, p1), "parameters did not update"
-    # checkpoints key by optimizer step (one keyspace with step-cadence saves)
-    assert adapter._ckpt_mgr.latest_step() == adapter.step
+    # saves use write-once monotonic sequence keys; the true step/epoch live
+    # inside the state (one boundary save here)
+    assert adapter._ckpt_mgr.latest_step() == 1
 
 
 def test_adapter_resume(tiny_data, tmp_path):
@@ -153,10 +154,10 @@ def test_midepoch_checkpoint_resume_matches_uninterrupted(tiny_data, tmp_path):
 
 
 def test_step_and_epoch_checkpoints_share_ordered_keyspace(tiny_data, tmp_path):
-    """Step-cadence and epoch-boundary saves both key by optimizer step: the
-    epoch-boundary save (later RNG/epoch state, same step) replaces the
-    step-cadence one, and resume restores the completed-epoch state instead
-    of a stale mid-epoch one (which would silently replay the epoch)."""
+    """Step-cadence and epoch-boundary saves share one write-once monotonic
+    keyspace (save-sequence keys): after a completed epoch, resume restores
+    the epoch-boundary state — NOT a stale mid-epoch cadence save landing on
+    the same optimizer step (which would silently replay the epoch)."""
     cfg = _tiny_cfg(tmp_path / "ck", data_dir=tiny_data,
                     loader_backend="grain", checkpoint_every_steps=1)
     a = MarsDomainAdapter(cfg)
@@ -168,6 +169,49 @@ def test_step_and_epoch_checkpoints_share_ordered_keyspace(tiny_data, tmp_path):
                                     checkpoint_every_steps=1, resume=True))
     assert b.epoch == 1          # post-epoch state won, not the step save
     assert b.step == a.step
+    assert getattr(b, "_pending_data_state", None) is None
+
+
+def test_orphaned_midepoch_checkpoint_falls_back(tiny_data, tmp_path):
+    """A mid-epoch checkpoint whose sidecar loader position was lost (crash
+    between the orbax save and the sidecar write) must NOT resume — it would
+    silently replay the epoch prefix.  Resume skips it and falls back to the
+    newest still-consistent state (here the epoch-1 boundary save)."""
+    import json
+    import os
+
+    def cfg_for(**kw):
+        return _tiny_cfg(tmp_path / "orph", data_dir=tiny_data,
+                         loader_backend="grain", checkpoint_every_steps=1,
+                         **kw)
+
+    a = MarsDomainAdapter(cfg_for())
+    real_step = a._train_step
+    calls = {"n": 0}
+
+    def crashing_step(*args):
+        if calls["n"] == 3:  # epoch 0: steps 1-2; epoch 1: step 3; crash on 4
+            raise KeyboardInterrupt("preempted")
+        calls["n"] += 1
+        return real_step(*args)
+
+    a._train_step = crashing_step
+    with pytest.raises(KeyboardInterrupt):
+        a.finetune(2)
+    assert a.step == 3 and a.epoch == 1
+
+    # simulate the crash landing between orbax save and sidecar write:
+    # the sidecar still shows the PREVIOUS cadence position
+    path = a._data_state_path()
+    data = json.load(open(path))
+    assert data["step"] == 3
+    data["step"] = 2
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+    b = MarsDomainAdapter(cfg_for(resume=True))
+    # the step-3 checkpoint is orphaned -> fall back to the epoch-0 boundary
+    assert b.epoch == 1 and b.step == 2
     assert getattr(b, "_pending_data_state", None) is None
 
 

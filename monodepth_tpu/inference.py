@@ -150,10 +150,17 @@ class MarsDepthEstimator:
     @functools.cached_property
     def _jitted_forward(self):
         model = self.model
+        # f32 parity mode must run TRUE f32 matmuls: TPU otherwise truncates
+        # f32 matmul/conv OPERANDS to bf16 (preferred_element_type only sets
+        # the accumulator), eroding the <=1e-3 parity budget on hardware.
+        # The bf16 perf path keeps the default (full MXU rate).
+        parity_f32 = self.config.dtype == "float32"
 
         @jax.jit
         def fwd(variables, x, scale):
-            outputs = model.apply(variables, x, scale)
+            with jax.default_matmul_precision(
+                    "float32" if parity_f32 else "bfloat16"):
+                outputs = model.apply(variables, x, scale)
             disp = outputs[("disp", 0)]
             depth = 1.0 / jnp.clip(disp, 1e-6)  # run_mars_depth.py:137
             return outputs, disp, depth

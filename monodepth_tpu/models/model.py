@@ -142,9 +142,17 @@ class DepthAnything(nn.Module):
             name="encoder",
         )(x, train=train)
 
+        # restrict the DECODER's scales too — the decoder early-breaks past
+        # the last requested scale (decoder.py:118-127), so output_scales=(0,)
+        # actually drops the three finest decoder levels instead of just
+        # skipping their output resizes
+        dec_scales = tuple(
+            s for s in self.scales
+            if self.output_scales is None or s in self.output_scales
+        ) or tuple(self.scales)
         outputs = DepthAnythingDecoder(
             num_ch_enc=NUM_CH_ENC,
-            scales=tuple(self.scales),
+            scales=dec_scales,
             dtype=self.dtype,
             name="decoder",
         )(features, train=train)

@@ -160,9 +160,12 @@ def _box_filter_jnp(x, r: int):
     return x
 
 
-def _guided_filter_core(I, p, radius: int, eps):
-    I = I.astype(jnp.float32)
-    p = p.astype(jnp.float32)
+def _guided_coefficients(I, p, radius: int, eps):
+    """Smoothed per-pixel affine coefficients (mean_a, mean_b) of the guided
+    filter (He et al.) — the one copy of the statistics math shared by the
+    exact and fast cores (the fast path is the production default and the
+    exact path its regression reference; they must stay algorithmically
+    identical)."""
     mean_I = _box_filter_jnp(I, radius)
     mean_p = _box_filter_jnp(p, radius)
     corr_Ip = _box_filter_jnp(I * p, radius)
@@ -171,8 +174,13 @@ def _guided_filter_core(I, p, radius: int, eps):
     cov_Ip = corr_Ip - mean_I * mean_p
     a = cov_Ip / (var_I + eps)
     b = mean_p - a * mean_I
-    mean_a = _box_filter_jnp(a, radius)
-    mean_b = _box_filter_jnp(b, radius)
+    return _box_filter_jnp(a, radius), _box_filter_jnp(b, radius)
+
+
+def _guided_filter_core(I, p, radius: int, eps):
+    I = I.astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    mean_a, mean_b = _guided_coefficients(I, p, radius, eps)
     return mean_a * I + mean_b
 
 
@@ -201,16 +209,7 @@ def _fast_guided_filter_core(I, p, radius: int, eps, subsample: int):
     pl = jnp.pad(p, ((0, hp), (0, wp)), mode="edge").reshape(
         nh, s, nw, s).mean(axis=(1, 3))
     rl = max(radius // subsample, 1)
-    mean_I = _box_filter_jnp(Il, rl)
-    mean_p = _box_filter_jnp(pl, rl)
-    corr_Ip = _box_filter_jnp(Il * pl, rl)
-    corr_II = _box_filter_jnp(Il * Il, rl)
-    var_I = corr_II - mean_I * mean_I
-    cov_Ip = corr_Ip - mean_I * mean_p
-    a = cov_Ip / (var_I + eps)
-    b = mean_p - a * mean_I
-    mean_a = _box_filter_jnp(a, rl)
-    mean_b = _box_filter_jnp(b, rl)
+    mean_a, mean_b = _guided_coefficients(Il, pl, rl, eps)
     ab = jnp.stack([mean_a, mean_b], axis=-1)[None]
     ab = resize_bilinear(ab, (h + hp, w + wp), align_corners=False)[0]
     ab = ab[:h, :w]
@@ -369,10 +368,15 @@ def batched_smooth(depth, guide, radius: int, eps, subsample: int = 4):
 
 
 def luma_guide(rgb):
-    """uint8-rounded BT.601 luma guide from [..., H, W, 3] float RGB in
-    [0,1] — matches the host path's cv2.cvtColor-on-uint8 quantization."""
-    luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
-    return jnp.round(jnp.clip(luma, 0.0, 1.0) * 255.0) / 255.0
+    """uint8-quantized BT.601 luma guide from [..., H, W, 3] float RGB in
+    [0,1] — matches the host batch path's quantization exactly: each channel
+    is first truncated to the uint8 grid ((clip*255).astype(uint8) ==
+    floor for non-negative values), THEN the luma weights apply, then the
+    result rounds.  Skipping the per-channel truncation differed from the
+    host guide by 1/255 on ~half the pixels of generic float RGB."""
+    q = jnp.floor(jnp.clip(rgb, 0.0, 1.0) * 255.0)
+    luma = 0.299 * q[..., 0] + 0.587 * q[..., 1] + 0.114 * q[..., 2]
+    return jnp.round(luma) / 255.0
 
 
 _batched_smooth_jit = functools.partial(

@@ -239,14 +239,6 @@ class VisionTransformer(nn.Module):
                       // self.seq_pad_multiple) * self.seq_pad_multiple
             x = jnp.pad(x, [(0, 0), (0, padded - seq), (0, 0)])
             valid_len = seq
-        if self.attn_global_pool and seq != 1 + n_h * n_w:
-            import warnings
-
-            warnings.warn(
-                f"attn_global_pool={self.attn_global_pool} requires a CLS+grid "
-                f"sequence (got seq={seq}, grid={n_h}x{n_w}); pooling disabled "
-                "for this call", stacklevel=2)
-
         taps = []
         tap_set = set(self.tap_indices)
         max_tap = max(tap_set)
@@ -267,9 +259,12 @@ class VisionTransformer(nn.Module):
                 valid_len=valid_len,
                 window=0 if i in global_set else window,
                 grid_hw=(n_h, n_w),
+                # skip_pad above guarantees valid_len is None whenever
+                # pooling is requested (SRA needs the unpadded CLS+grid
+                # sequence); the guard is defensive, and seq == 1 + n_h*n_w
+                # holds by construction of the CLS+grid assembly
                 global_pool=(self.attn_global_pool
-                             if valid_len is None and seq == 1 + n_h * n_w
-                             else 0),
+                             if valid_len is None else 0),
                 quantize=self.quantize,
                 name=f"block_{i}",
             )(x)

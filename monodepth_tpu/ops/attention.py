@@ -8,6 +8,7 @@ performance path; it is validated against the jnp path in tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import nn as jnn
 
@@ -24,13 +25,20 @@ def _mha_xla(q, k, v, num_heads: int, valid_len=None):
 
     qh, kh, vh = split(q), split(k), split(v)
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32)).astype(q.dtype)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32)
+    # preferred_element_type only sets the ACCUMULATOR dtype; on TPU the
+    # operands of an f32 matmul are still truncated to bf16 unless
+    # Precision.HIGHEST is requested — required for the f32 parity path
+    # (and for this function's role as the kernels' numeric reference).
+    prec = jax.lax.Precision.HIGHEST if qh.dtype == jnp.float32 else None
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh,
+                        preferred_element_type=jnp.float32, precision=prec)
     if valid_len is not None and valid_len < sk:
         # mask padded keys (sequence padded for MXU-friendly shapes)
         key_idx = jnp.arange(sk)
         logits = jnp.where(key_idx[None, None, None, :] < valid_len, logits, -jnp.inf)
     weights = jnn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh,
+                     preferred_element_type=jnp.float32, precision=prec)
     return out.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b, sq, d)
 
 
@@ -43,8 +51,6 @@ def multi_head_attention(q, k, v, *, num_heads: int, impl: str = "xla",
     masked out (static int).
     """
     if impl == "pallas":
-        import jax
-
         from monodepth_tpu.ops.pallas.attention import fused_mha, fused_mha_short
 
         interpret = jax.default_backend() == "cpu"
@@ -90,8 +96,6 @@ def windowed_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
     cls_out = _mha_xla(q[:, :1], k, v, num_heads)
 
     if impl == "pallas":
-        import jax
-
         from monodepth_tpu.ops.pallas.attention import fused_window_mha
 
         # window-direct kernel: the BlockSpec reads each window straight out
@@ -134,18 +138,20 @@ def spatial_self_attention(query, key, value, x, gamma, *, impl: str = "xla"):
     k2 = key.reshape(b, n, cq)
     v2 = value.reshape(b, n, c)
     if impl == "pallas":
-        import jax
-
         from monodepth_tpu.ops.pallas.attention import fused_spatial_attention
 
         out = fused_spatial_attention(q2, k2, v2,
                                       interpret=jax.default_backend() == "cpu")
     else:
         # energy[b, i, j] = <q_i, k_j>; softmax over j (reference :28-29).
-        energy = jnp.einsum("bic,bjc->bij", q2, k2, preferred_element_type=jnp.float32)
+        prec = (jax.lax.Precision.HIGHEST
+                if q2.dtype == jnp.float32 else None)
+        energy = jnp.einsum("bic,bjc->bij", q2, k2,
+                            preferred_element_type=jnp.float32, precision=prec)
         attn = jnn.softmax(energy, axis=-1).astype(value.dtype)
         # out_i = sum_j attn[i, j] * v_j   (reference :32-33 computes
         # V @ attn^T in channel-major layout; identical contraction).
-        out = jnp.einsum("bij,bjc->bic", attn, v2, preferred_element_type=jnp.float32)
+        out = jnp.einsum("bij,bjc->bic", attn, v2,
+                         preferred_element_type=jnp.float32, precision=prec)
     out = out.astype(value.dtype).reshape(b, h, w, c)
     return gamma * out + x

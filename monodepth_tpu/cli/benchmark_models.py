@@ -149,6 +149,10 @@ def main(argv=None):
 
     evaluator = MarsTerrainEvaluator()
     rows = []
+    # depth_lists entries are per-IMAGE (None on failure) so the comparison
+    # grid never pairs a depth with the wrong input when a backend fails on
+    # some images (the reference benchmark skips per-image errors the same
+    # way, benchmark_models.py:385-387)
     images, depth_lists = [], {n: [] for n in backends}
     for path in paths:
         img = load_image(path, args.max_size)
@@ -162,6 +166,7 @@ def main(argv=None):
                 elapsed = time.perf_counter() - t0
             except Exception as e:  # pragma: no cover
                 print(f"{name} failed on {path}: {e}")
+                depth_lists[name].append(None)
                 continue
             proxy = evaluator.compute_proxy_metrics(depth, img)
             depth_lists[name].append(depth)
@@ -187,10 +192,16 @@ def main(argv=None):
 
     from monodepth_tpu.utils.visualization import MarsTerrainVisualizer
 
-    usable = [n for n in backends if depth_lists[n]]
-    if usable and images:
+    usable = [n for n in backends
+              if any(d is not None for d in depth_lists[n])]
+    # grid rows: only images every usable backend succeeded on (keeps each
+    # depth aligned with its true input image)
+    ok_rows = [i for i in range(len(images))
+               if all(depth_lists[n][i] is not None for n in usable)]
+    if usable and ok_rows:
         MarsTerrainVisualizer().create_depth_comparison_grid(
-            images, [depth_lists[n] for n in usable], usable,
+            [images[i] for i in ok_rows],
+            [[depth_lists[n][i] for i in ok_rows] for n in usable], usable,
             save_path=os.path.join(args.output_dir, "comparison_grid.png"),
         )
     print(f"Results: {csv_path}")

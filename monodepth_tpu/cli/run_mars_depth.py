@@ -163,10 +163,25 @@ def _infer_stream(estimator, image_paths, args):
     for path in image_paths:
         img = load_image(path, max_size=args.max_size)
         loaded.append((path, img))
-    buckets = {}
-    for path, img in loaded:
-        buckets.setdefault(img.shape, []).append((path, img))
-    for shape, items in buckets.items():
+    if getattr(args, "depth_video", False) or getattr(args, "temporal_smooth", 0) > 1:
+        # temporal features need FRAME ORDER: batch runs of CONSECUTIVE
+        # same-shape frames (a shape change just splits the batch) instead
+        # of globally regrouping by shape, which would reorder the sequence
+        # and make the temporal window average non-adjacent frames
+        runs, cur = [], []
+        for path, img in loaded:
+            if cur and cur[-1][1].shape != img.shape:
+                runs.append(cur)
+                cur = []
+            cur.append((path, img))
+        if cur:
+            runs.append(cur)
+    else:
+        buckets = {}
+        for path, img in loaded:
+            buckets.setdefault(img.shape, []).append((path, img))
+        runs = list(buckets.values())
+    for items in runs:
         for start in range(0, len(items), args.batch_size):
             chunk = items[start:start + args.batch_size]
             images = np.stack([im for _, im in chunk])

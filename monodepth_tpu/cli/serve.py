@@ -70,6 +70,11 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 port: int = 8500, model_desc: str = "standard",
                 fixed_shape=None):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (our /predict_stream framing) is only defined for
+        # HTTP/1.1; the BaseHTTPRequestHandler default of 1.0 would make
+        # strict clients read raw chunk framing as payload
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet by default
             pass
 
@@ -100,7 +105,11 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 return
             qs = parse_qs(parsed.query)
             source = qs.get("source", ["auto"])[0]
-            max_size = int(qs.get("max_size", ["1024"])[0])
+            try:
+                max_size = int(qs.get("max_size", ["1024"])[0])
+            except ValueError:
+                self._json(400, {"error": "max_size must be an integer"})
+                return
             output = qs.get("output", ["depth"])[0]
             if output not in ("depth", "disp"):
                 self._json(400, {"error": f"bad output {output!r}"})
@@ -161,7 +170,11 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
 
             qs = parse_qs(parsed.query)
             source = qs.get("source", ["auto"])[0]
-            max_size = int(qs.get("max_size", ["1024"])[0])
+            try:
+                max_size = int(qs.get("max_size", ["1024"])[0])
+            except ValueError:
+                self._json(400, {"error": "max_size must be an integer"})
+                return
             output = qs.get("output", ["depth"])[0]
             if output not in ("depth", "disp"):
                 self._json(400, {"error": f"bad output {output!r}"})
@@ -183,12 +196,20 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 self._json(400, {"error": "empty stream"})
                 return
             metadata = None if source == "auto" else {"source": source}
-            try:
-                futures = [service.submit(img, metadata) for img in images]
-            except ServiceOverloaded as e:
+            futures, overloaded = [], None
+            for img in images:
+                try:
+                    futures.append(service.submit(img, metadata))
+                except ServiceOverloaded as e:
+                    # keep the work already accepted (the device computes it
+                    # anyway); stream those results and per-image 'overloaded'
+                    # errors for the remainder instead of wasting the batch
+                    overloaded = str(e)
+                    break
+            if not futures:
                 self.send_response(503)
                 self.send_header("Retry-After", "1")
-                b = json.dumps({"error": str(e)}).encode()
+                b = json.dumps({"error": overloaded}).encode()
                 self.send_header("Content-Length", str(len(b)))
                 self.end_headers()
                 self.wfile.write(b)
@@ -209,6 +230,10 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 except Exception as e:  # pragma: no cover - device failures
                     self._chunk(json.dumps(
                         {"index": i, "error": str(e)}).encode() + b"\n")
+            for i in range(len(futures), len(images)):
+                self._chunk(json.dumps(
+                    {"index": i, "error": f"overloaded: {overloaded}",
+                     "retry": True}).encode() + b"\n")
             self._chunk(b"")  # terminating chunk
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -228,7 +228,11 @@ class NumpyLoader:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        full, tail = divmod(n, self.batch_size)
+        # a tail smaller than the host count cannot be split without
+        # duplication and is dropped on ALL hosts (_index_batches) — len()
+        # must agree with what iteration actually yields
+        return full + (1 if tail >= self.shard_count and tail else 0)
 
     @property
     def local_batch_size(self):
@@ -346,21 +350,55 @@ class NumpyLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def worker():
+            # exceptions must surface in the CONSUMER: a silently-dead worker
+            # would end the epoch early and training would continue on
+            # partial data with no error
             try:
                 for batch in self._batches_serial():
-                    q.put(batch)
-            finally:
-                q.put(sentinel)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 - re-raised by consumer
+                _drain_put(q, ("__error__", e))
+                return
+            _drain_put(q, sentinel)
+
+        def _drain_put(qq, item):
+            # guaranteed-progress put: drop one stale entry if full (the
+            # consumer is gone or slow; sentinel/error must not block forever)
+            while True:
+                try:
+                    qq.put_nowait(item)
+                    return
+                except queue.Full:
+                    try:
+                        qq.get_nowait()
+                    except queue.Empty:
+                        pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] == "__error__"):
+                    raise item[1]
+                yield item
+        finally:
+            # consumer stopped early (break / GeneratorExit): release the
+            # producer so it does not block forever on a full queue
+            stop.set()
 
 
 def organize_dataset(raw_dir: str, out_dir: str,

@@ -102,8 +102,7 @@ class GrainLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  drop_last: bool, seed: int = 0, num_workers: int = 0,
-                 shard_index: int = 0, shard_count: int = 1,
-                 num_epochs: Optional[int] = None):
+                 shard_index: int = 0, shard_count: int = 1):
         import grain.python as pygrain
 
         assert 0 <= shard_index < shard_count
@@ -136,10 +135,15 @@ class GrainLoader:
         self._epoch = 0
 
     def __len__(self):
-        per_host = len(self.dataset) // self._sampler_kw[
-            "shard_options"].shard_count
+        so = self._sampler_kw["shard_options"]
+        n = len(self.dataset)
         if self.drop_last:
+            per_host = n // so.shard_count
             return per_host // self.local_batch_size
+        # drop_remainder=False: grain's round-robin gives low shard indices
+        # the remainder records (ceil), not floor — len() must match
+        per_host = n // so.shard_count + (
+            1 if so.shard_index < n % so.shard_count else 0)
         return (per_host + self.local_batch_size - 1) // self.local_batch_size
 
     def _make_record_iter(self, epoch: int):

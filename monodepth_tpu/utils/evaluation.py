@@ -80,9 +80,17 @@ class MarsTerrainEvaluator:
             "a2": float(np.mean(thresh < 1.25**2)),
             "a3": float(np.mean(thresh < 1.25**3)),
         }
-        metrics["trp"] = self.terrain_roughness_preservation(pred, gt)
-        metrics["sfdr"] = self.small_feature_detection_rate(pred, gt)
-        metrics["cda"] = self.crater_detection_accuracy(pred, gt)
+        # The spatial Mars metrics need 2-D structure, so invalid pixels
+        # can't simply be dropped: NaN-sky or 0-fill GT would poison the
+        # block-std / Sobel maps (corrcoef -> NaN).  Fill invalid pixels
+        # with the valid median first (the reference masks TRP's inputs,
+        # evaluation.py:84-86, and would NaN on SFDR; this keeps both
+        # defined on real partially-valid GT).
+        fill_p = np.where(valid, pred, np.median(p))
+        fill_g = np.where(valid, gt, np.median(g))
+        metrics["trp"] = self.terrain_roughness_preservation(fill_p, fill_g)
+        metrics["sfdr"] = self.small_feature_detection_rate(fill_p, fill_g)
+        metrics["cda"] = self.crater_detection_accuracy(fill_p, fill_g)
         return metrics
 
     def terrain_roughness_preservation(self, pred, gt, block: int = 8) -> float:

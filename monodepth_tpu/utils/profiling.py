@@ -35,6 +35,8 @@ def force_completion(out) -> float:
     import jax
 
     leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:  # fn returned None / an empty pytree: nothing to sync
+        return 0.0
     for leaf in leaves:
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()

@@ -292,3 +292,65 @@ def test_loader_sustains_training_device_rate(tmp_path_factory):
         loader.close()
         assert rate > device_rate, (
             f"pooled loader {rate:.1f} img/s < device {device_rate} img/s")
+
+
+def test_len_matches_iteration_with_ragged_tail(data_root):
+    """len(loader) must agree with the number of batches actually yielded —
+    including the multi-host ragged tail that is dropped on all hosts."""
+    ds = MarsImageDataset(data_root, "train", height=16, width=20)
+    # 12 records: batch 8 -> tail 4 (>= shards: kept); batch 7 -> tail 5;
+    # batch 11 -> tail 1 (< 2 shards: dropped everywhere)
+    for bs, shards in ((8, 2), (7, 1), (11, 1)):
+        if bs % max(shards, 1):
+            continue
+        loader = NumpyLoader(ds, batch_size=bs, shuffle=False,
+                             drop_last=False, shard_index=0,
+                             shard_count=shards, prefetch=0)
+        n_yielded = sum(1 for _ in loader._index_batches())
+        assert len(loader) == n_yielded, (bs, shards, len(loader), n_yielded)
+    # the degenerate multi-host tail: 12 % 11 = 1 row over 2 hosts
+    loader = NumpyLoader(ds, batch_size=11, shuffle=False, drop_last=False,
+                         shard_index=0, shard_count=1, prefetch=0)
+    assert len(loader) == sum(1 for _ in loader._index_batches())
+
+
+def test_prefetch_worker_error_propagates(data_root):
+    """A failure inside the prefetch thread must raise in the consumer, not
+    silently truncate the epoch (training would continue on partial data)."""
+    ds = MarsImageDataset(data_root, "train", height=16, width=20)
+    loader = NumpyLoader(ds, batch_size=4, shuffle=False, drop_last=True,
+                         prefetch=2)
+    calls = {"n": 0}
+    real_get = ds.get
+
+    def failing_get(i, rng=None):
+        calls["n"] += 1
+        if calls["n"] > 4:
+            raise RuntimeError("decode exploded")
+        return real_get(i, rng=rng)
+
+    ds.get = failing_get
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        for _ in loader:
+            pass
+
+
+def test_prefetch_consumer_early_break_releases_worker(data_root):
+    """Breaking out of iteration must not leave the producer thread blocked
+    forever on a full queue (one leaked thread per abandoned iteration)."""
+    import threading
+
+    ds = MarsImageDataset(data_root, "train", height=16, width=20)
+    loader = NumpyLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                         prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # GeneratorExit -> stop event -> producer exits
+    import time as _t
+
+    deadline = _t.time() + 5
+    while threading.active_count() > before and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= before + 1

@@ -27,15 +27,30 @@ def parse_args(argv=None):
                    help="Seed images for synthetic data when data_dir is missing")
     p.add_argument("--source_type", type=str, default="rover")
     p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--num_epochs", type=int, default=20)
+    # Second option strings = the reference's exact flag names
+    # (mars_finetune.py:28-58), so reference invocations run verbatim.
+    p.add_argument("--num_epochs", "--epochs", dest="num_epochs",
+                   type=int, default=20)
     p.add_argument("--learning_rate", type=float, default=1e-4)
-    p.add_argument("--scheduler_step_size", type=int, default=15)
-    p.add_argument("--scheduler_gamma", type=float, default=0.5)
+    p.add_argument("--scheduler_step_size", "--lr_scheduler_step_size",
+                   dest="scheduler_step_size", type=int, default=15)
+    p.add_argument("--scheduler_gamma", "--lr_scheduler_gamma",
+                   dest="scheduler_gamma", type=float, default=0.5)
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=512)
-    p.add_argument("--depth_weight", type=float, default=1.0)
-    p.add_argument("--smoothness_weight", type=float, default=0.001)
-    p.add_argument("--save_dir", type=str, default="./checkpoints")
+    p.add_argument("--depth_weight", "--depth_loss_weight",
+                   dest="depth_weight", type=float, default=1.0)
+    p.add_argument("--smoothness_weight", "--smoothness_loss_weight",
+                   dest="smoothness_weight", type=float, default=0.001)
+    p.add_argument("--save_dir", "--output_dir", dest="save_dir",
+                   type=str, default="./checkpoints")
+    p.add_argument("--model_weights", type=str, default=None,
+                   help="Start fine-tuning from a full-model checkpoint "
+                        "(reference .pth or Orbax dir; reference "
+                        "mars_finetune.py:38-40)")
+    p.add_argument("--no_cuda", action="store_true",
+                   help="Accepted for reference compatibility; device "
+                        "selection is JAX's (JAX_PLATFORMS)")
     p.add_argument("--checkpoint_every", type=int, default=5)
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="> 0: also checkpoint every N optimizer steps WITH "
@@ -97,7 +112,7 @@ def main(argv=None):
 
     cfg = TrainConfig(
         model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
-                          remat=args.remat),
+                          remat=args.remat, checkpoint=args.model_weights),
         data_dir=args.data_dir,
         source_type=args.source_type,
         batch_size=args.batch_size,

@@ -19,14 +19,24 @@ from monodepth_tpu.inference import MarsDepthEstimator, detect_source, load_imag
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Simple Mars monodepth inference")
+    # --image_path accepts a single image OR a folder (reference
+    # monodepth.py:23-24); --folder kept as an explicit spelling.
     p.add_argument("--image_path", type=str, default=None)
     p.add_argument("--folder", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="./outputs")
-    p.add_argument("--weights", type=str, default=None,
-                   help="Mars fine-tuned weights (.pth or Orbax dir)")
+    p.add_argument("--ext", type=str, default=None,
+                   help="Restrict folder search to this image extension "
+                        "(reference monodepth.py:31-32; default: png/jpg/jpeg)")
+    p.add_argument("--weights", "--mars_weights", dest="weights",
+                   type=str, default=None,
+                   help="Mars fine-tuned weights (.pth or Orbax dir; "
+                        "reference flag name --mars_weights)")
     p.add_argument("--source", type=str, default="auto")
     p.add_argument("--max_size", type=int, default=1024)
     p.add_argument("--enhanced_model", action="store_true")
+    p.add_argument("--no_cuda", action="store_true",
+                   help="Accepted for reference compatibility; device "
+                        "selection is JAX's (JAX_PLATFORMS)")
     return p.parse_args(argv)
 
 
@@ -34,10 +44,16 @@ def main(argv=None):
     args = parse_args(argv)
     from monodepth_tpu.cli.run_mars_depth import collect_image_paths
 
-    if args.image_path:
+    folder = args.folder
+    if args.image_path and os.path.isdir(args.image_path):
+        folder = args.image_path
+    if folder:
+        paths = collect_image_paths(folder)
+        if args.ext:
+            suffix = "." + args.ext.lstrip(".").lower()
+            paths = [p for p in paths if p.lower().endswith(suffix)]
+    elif args.image_path:
         paths = [args.image_path]
-    elif args.folder:
-        paths = collect_image_paths(args.folder)
     else:
         print("Provide --image_path or --folder")
         return 1

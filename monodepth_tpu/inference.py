@@ -136,15 +136,9 @@ class MarsDepthEstimator:
         return path
 
     def _load_checkpoint(self, variables, path: str):
-        if os.path.isdir(path):
-            from monodepth_tpu.train.checkpoints import restore_params
-
-            return restore_params(path, variables)
-        sd = weights_lib.load_torch_state_dict(path)
-        params, stats = weights_lib.convert_reference_state_dict(
-            sd, enhanced=self.config.enhanced
+        return weights_lib.load_model_variables(
+            variables, path, enhanced=self.config.enhanced
         )
-        return {"params": params, "batch_stats": stats}
 
     # ------------------------------------------------------------ forward
     @functools.cached_property

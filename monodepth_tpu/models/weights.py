@@ -299,6 +299,25 @@ def load_torch_state_dict(path: str) -> Dict:
     return obj
 
 
+def load_model_variables(variables, path: str, enhanced: bool = False):
+    """Load full-model weights from `path` into a variables dict.
+
+    `path` is either a reference-format .pth state dict (converted via
+    `convert_reference_state_dict`) or an Orbax checkpoint directory (the
+    params/batch_stats template comes from `variables`).  Shared by the
+    inference estimator, `convert_to_mars_domain`, and the training
+    adapter's `--model_weights` start-from-checkpoint path (reference
+    mars_finetune.py:38-40).
+    """
+    if os.path.isdir(path):
+        from monodepth_tpu.train.checkpoints import restore_params
+
+        return restore_params(path, variables)
+    sd = load_torch_state_dict(path)
+    params, stats = convert_reference_state_dict(sd, enhanced=enhanced)
+    return {"params": params, "batch_stats": stats}
+
+
 def maybe_load_pretrained_vit() -> Optional[Dict]:
     """Return converted ViT params if a local checkpoint exists, else None."""
     path = find_vit_weights()

@@ -198,7 +198,19 @@ class MarsDomainAdapter:
         self.params = unfreeze(variables["params"]) if hasattr(variables["params"], "unfreeze") else dict(variables["params"])
         self.batch_stats = dict(variables["batch_stats"])
 
-        if cfg.model.pretrained:
+        if cfg.model.checkpoint:
+            # Start fine-tuning from a full-model checkpoint (reference
+            # mars_finetune.py:38-40 --model_weights): reference .pth or
+            # Orbax dir, same loader as the inference estimator.
+            from monodepth_tpu.models.weights import load_model_variables
+
+            loaded = load_model_variables(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                cfg.model.checkpoint, enhanced=cfg.model.enhanced,
+            )
+            self.params = dict(loaded["params"])
+            self.batch_stats = dict(loaded["batch_stats"])
+        elif cfg.model.pretrained:
             from monodepth_tpu.models.weights import maybe_load_pretrained_vit
 
             vit = maybe_load_pretrained_vit()

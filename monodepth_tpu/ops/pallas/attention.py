@@ -108,12 +108,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *scratch,
 
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
                      block_k: int = 1024, interpret: bool = False,
-                     valid_len: int = None):
+                     valid_len: int = None, full_kv: bool = None):
     """Generic flash attention: q [G, Sq, Dk], k [G, Sk, Dk], v [G, Sk, Dv].
 
     Returns [G, Sq, Dv].  G = batch*heads (MHA) or batch (spatial).  Sq and
     Sk may differ (cross-attention / pooled-KV).  Keys at index >= valid_len
-    are masked out of the softmax.
+    are masked out of the softmax.  full_kv: None = auto (whole-sequence
+    K/V when the f32 logits block fits the VMEM heuristic), True/False =
+    force; the auto heuristic is right for the ViT's Dv=64 head slices but
+    wrong for the spatial block's Dv=256 (see dev_spatial_ablate.py).
     """
     g, s, dk = q.shape
     sk = k.shape[1]
@@ -127,7 +130,9 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
     # K/V resident across the q sweep and cuts grid steps ~num_k-fold
     # (measured 14.1 -> 10.1 ms/layer at 4097 tokens, batch 8).
     sk_full = _round_up(sk, 128)
-    if block_q * sk_full * 4 <= (9 << 20) and sk_full > block_k:
+    if full_kv is None:
+        full_kv = block_q * sk_full * 4 <= (9 << 20)
+    if full_kv and sk_full > block_k:
         block_k = sk_full
     sq_pad = _round_up(s, block_q)
     sk_pad = _round_up(sk, block_k)
@@ -367,7 +372,8 @@ def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
 
 
 def fused_spatial_attention(q, k, v, *, block_q: int = 512,
-                            block_k: int = 1024, interpret: bool = False):
+                            block_k: int = 1024, interpret: bool = False,
+                            full_kv: bool = None):
     """Spatial non-local attention: q, k [B, N, Cq], v [B, N, C] -> [B, N, C].
 
     out_i = sum_j softmax_j(<q_i, k_j>) v_j  (no scaling, matching the
@@ -376,4 +382,4 @@ def fused_spatial_attention(q, k, v, *, block_q: int = 512,
     n = q.shape[1]
     return _flash_attention(q, k, v, scale=1.0, block_q=block_q,
                             block_k=block_k, interpret=interpret,
-                            valid_len=n)
+                            valid_len=n, full_kv=full_kv)

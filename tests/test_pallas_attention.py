@@ -66,6 +66,25 @@ def test_fused_spatial_attention_matches_xla(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(full_kv=True),
+    dict(full_kv=False, block_q=128, block_k=128),
+    dict(full_kv=False, block_q=64, block_k=256),
+])
+def test_fused_spatial_attention_block_overrides(rng, kw):
+    """full_kv / block-size overrides (the dev_spatial_ablate A/B space)
+    stay numerically identical to the XLA reference."""
+    b, n, c = 2, 300, 256
+    cq = c // 8
+    q = jnp.asarray(rng.standard_normal((b, n, cq), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, cq), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, c), dtype=np.float32))
+    e = jnp.einsum("bic,bjc->bij", q, k)
+    want = np.asarray(jnp.einsum("bij,bjc->bic", jax.nn.softmax(e, -1), v))
+    got = np.asarray(fused_spatial_attention(q, k, v, interpret=True, **kw))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 def test_fused_mha_bf16(rng):
     b, s, dim, heads = 1, 197, 768, 12
     q = jnp.asarray(rng.standard_normal((b, s, dim), dtype=np.float32)).astype(jnp.bfloat16)

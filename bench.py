@@ -16,6 +16,8 @@ native-resolution quality mode and writes them to BENCH_CONFIGS.json
   4. multi-scale fusion + texture-aware refinement pass
   5. Mars fine-tune loop (384x512, batch 8) — steps/s and img/s
   6. native-resolution mode @1024 (4096 tokens, flash attention)
+  7. HTTP serving end-to-end @512 (PNG decode -> micro-batched device
+     forward -> raw f32 response, 16 concurrent clients, one host)
 
 Measurement protocol (see monodepth_tpu/utils/profiling.py): the remote-
 execution tunnel used in this environment resolves `block_until_ready`
@@ -239,6 +241,71 @@ def check_regressions(results, path, tolerance=0.15):
     return regressions
 
 
+def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
+                  estimator=None):
+    """End-to-end HTTP serving throughput: PNG bytes in -> raw f32 depth
+    out, through the micro-batched server with concurrent clients.
+
+    Unlike configs 1-6 (device-path numbers), this is the whole production
+    path on one host: HTTP parse, PNG decode, resize, batch coalescing +
+    bucket padding, device forward, f32 serialization.  `estimator=None`
+    builds the real bf16 standard model (tests inject a stub).
+    Returns (images/sec, service stats dict).
+    """
+    import io
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from monodepth_tpu.cli.serve import serve_in_thread
+    from monodepth_tpu.serve import DepthService
+
+    if estimator is None:
+        from monodepth_tpu.config import ModelConfig
+        from monodepth_tpu.inference import MarsDepthEstimator
+
+        estimator = MarsDepthEstimator(
+            ModelConfig(dtype="bfloat16", pretrained=False))
+    service = DepthService(estimator, max_batch=max_batch)
+    # Warm every bucket shape the batcher can send to the device (the
+    # serve CLI's --warmup does the same) so no timed request compiles.
+    for b in reversed(service.batcher._buckets):
+        estimator.predict_batch(np.zeros((b, size, size, 3), np.float32))
+    server, port = serve_in_thread(service, model_desc="bench")
+    try:
+        rng = np.random.default_rng(0)
+        buf = io.BytesIO()
+        Image.fromarray((rng.random((size, size, 3)) * 255)
+                        .astype(np.uint8)).save(buf, format="PNG")
+        payload = buf.getvalue()
+        url = (f"http://127.0.0.1:{port}/predict"
+               f"?source=rover&max_size={size}")
+
+        def post_n(n):
+            for _ in range(n):
+                req = urllib.request.Request(url, data=payload,
+                                             method="POST")
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    r.read()
+
+        post_n(2)  # HTTP-path warmup (device shapes are already compiled)
+        per = max(total_requests // clients, 1)
+        threads = [threading.Thread(target=post_n, args=(per,))
+                   for _ in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        stats = service.stats()
+    finally:
+        server.shutdown()
+        service.close()
+    return clients * per / dt, stats
+
+
 def run_all(headline_value, batch, size, repeats):
     results = [
         {"config": "2_batched_folder_1024px_standard",
@@ -294,6 +361,20 @@ def run_all(headline_value, batch, size, repeats):
             "vs_baseline": round(v / NORTH_STAR, 3)})
     except Exception as e:  # pragma: no cover - env-dependent
         _log(f"[bench --all] native mode failed: {e}")
+
+    _log("[bench --all] config 7: HTTP serving end-to-end @512, 16 clients ...")
+    try:
+        v, stats = bench_serving()
+        results.append({
+            "config": "7_http_serving_512px",
+            "metric": "images/sec end-to-end, micro-batched HTTP serving "
+                      "(PNG decode + batch coalescing + device + f32 "
+                      "response), 512px, 16 concurrent clients, 1 host",
+            "value": round(v, 2), "unit": "images/sec",
+            "mean_batch_size": stats.get("mean_batch_size"),
+            "vs_baseline": None})
+    except Exception as e:  # pragma: no cover - env-dependent
+        _log(f"[bench --all] serving bench failed: {e}")
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_CONFIGS.json")

@@ -65,3 +65,29 @@ def test_bench_regression_comparison(tmp_path):
     assert bench.check_regressions(new, str(tmp_path / "missing.json")) == []
     (tmp_path / "bad.json").write_text("not json")
     assert bench.check_regressions(new, str(tmp_path / "bad.json")) == []
+
+
+def test_bench_serving_end_to_end_with_stub():
+    """bench_serving drives the real HTTP server + MicroBatcher path with a
+    stub device model: requests coalesce into batches, throughput > 0."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    calls = []
+
+    class _Stub:
+        def predict_batch(self, images, metadatas=None):
+            calls.append(images.shape)
+            b, h, w = images.shape[:3]
+            return {"disp": np.ones((b, h, w), np.float32),
+                    "depth": np.ones((b, h, w), np.float32)}
+
+    v, stats = bench.bench_serving(size=32, max_batch=4, clients=4,
+                                   total_requests=8, estimator=_Stub())
+    assert v > 0
+    assert stats["served"] >= 8  # + warmup posts
+    # warmup covered every bucket the batcher can pad to
+    for b in (1, 2, 4):
+        assert (b, 32, 32, 3) in calls

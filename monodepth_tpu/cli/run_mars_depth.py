@@ -86,6 +86,12 @@ def parse_args(argv=None):
                              "pretrained ViT in this environment); run "
                              "scripts/validate_real_weights.py when a "
                              "checkpoint lands.")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="Shard batched inference over a device mesh: "
+                             "'auto' (all local chips, data-parallel) or "
+                             "'data=N[,model=M]' (Megatron TP over the ViT "
+                             "projections); outputs are numerically "
+                             "identical to single-device")
     parser.add_argument("--global_pool", type=int, default=0, metavar="P",
                         help="Native mode: average-pool global-block K/V by "
                              "PxP (PVT-style spatial-reduction attention) — "
@@ -336,7 +342,7 @@ def main(argv=None):
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")
-    estimator = MarsDepthEstimator(config)
+    estimator = MarsDepthEstimator(config, mesh=args.mesh)
     run_depth_estimation(estimator, image_paths, args)
     return 0
 

@@ -252,6 +252,11 @@ def main(argv=None) -> int:
                    help="int8: ViT matmuls on the quantized MXU path "
                         "(accuracy bounds: tests/test_quant.py; real-asset "
                         "agreement r=0.986 vs bf16, docs/PERF_STUDY.md)")
+    p.add_argument("--mesh", default="",
+                   help="shard device batches over a mesh: 'auto' (all "
+                        "local chips, data-parallel) or 'data=N[,model=M]' "
+                        "(Megatron TP over the ViT projections); outputs "
+                        "are numerically identical to single-device")
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--max_queue", type=int, default=256,
@@ -274,9 +279,12 @@ def main(argv=None) -> int:
                          checkpoint=args.checkpoint,
                          native_patching=args.native_resolution,
                          quantize=args.quantize)
-    estimator = MarsDepthEstimator(config)
+    estimator = MarsDepthEstimator(config, mesh=args.mesh)
     fixed_shape = None
     if args.artifact:
+        if args.mesh:
+            print("--mesh ignored with --artifact (the frozen program "
+                  "carries its own device placement)")
         from monodepth_tpu.export import ArtifactDepthEstimator
 
         # frozen program; the live estimator only supplies the weights

@@ -81,10 +81,19 @@ class MarsDepthEstimator:
       'outputs'      — optional full raw output dict (return_all=True)
     """
 
-    def __init__(self, config: Optional[ModelConfig] = None, seed: int = 0):
+    def __init__(self, config: Optional[ModelConfig] = None, seed: int = 0,
+                 mesh=None):
+        """mesh: None (single device), a jax.sharding.Mesh, or a spec
+        string ('auto', 'data=4', 'data=4,model=2') — batches shard over
+        the 'data' axis and the ViT projections TP-shard over 'model'
+        (parallel/mesh.py rules); every predict/predict_batch output is
+        numerically identical to the unsharded path (test_parallel_inference).
+        """
         self.config = config or ModelConfig()
         from monodepth_tpu.models import build_model
+        from monodepth_tpu.parallel.mesh import parse_mesh_spec
 
+        self.mesh = parse_mesh_spec(mesh)
         self.model = build_model(self.config)
         self.variables = self._init_variables(seed)
 
@@ -104,6 +113,14 @@ class MarsDepthEstimator:
         # Keep weights resident on device — otherwise every jitted call
         # re-uploads ~350 MB of host arrays (measured ~10 s/call through the
         # serving tunnel vs ~30 ms resident).
+        return self._place(variables)
+
+    def _place(self, variables):
+        """Device placement: mesh sharding rules, or plain device_put."""
+        if self.mesh is not None:
+            from monodepth_tpu.parallel.mesh import shard_params
+
+            return shard_params(variables, self.mesh)
         return jax.device_put(variables)
 
     def convert_to_mars_domain(self, weights: Optional[str] = None):
@@ -116,7 +133,7 @@ class MarsDepthEstimator:
         optional-weights contract.
         """
         if weights:
-            self.variables = jax.device_put(
+            self.variables = self._place(
                 self._load_checkpoint(self.variables, weights)
             )
         return self
@@ -168,6 +185,18 @@ class MarsDepthEstimator:
         return_all: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Single image [H, W, 3] -> depth outputs."""
+        if self.mesh is not None:
+            # Sharded path: ride the batch entry (pads to the data axis).
+            batched = self.predict_batch(
+                np.asarray(image)[None],
+                None if metadata is None else [metadata],
+                return_all=return_all,
+            )
+            return {
+                k: ({kk: vv[0] for kk, vv in v.items()} if k == "outputs"
+                    else v[0])
+                for k, v in batched.items()
+            }
         x = preprocess_image(image)[None]
         scale = disp_scale_factor(metadata)
         outputs, disp, depth = self._jitted_forward(
@@ -202,19 +231,30 @@ class MarsDepthEstimator:
             scales = np.asarray(
                 [disp_scale_factor(m) for m in metadatas], np.float32
             )
-        outputs, disp, depth = self._jitted_forward(
-            self.variables, jnp.asarray(x), jnp.asarray(scales)
-        )
+        xb, sb = jnp.asarray(x), jnp.asarray(scales)
+        if self.mesh is not None:
+            from monodepth_tpu.parallel.mesh import shard_batch
+
+            # Pad the batch to the data-axis size (GSPMD needs an even
+            # split); padded rows repeat row 0 and are sliced off below.
+            dp = self.mesh.shape["data"]
+            pad = (-b) % dp
+            if pad:
+                xb = jnp.concatenate([xb, jnp.repeat(xb[:1], pad, axis=0)])
+                sb = jnp.concatenate([sb, jnp.repeat(sb[:1], pad, axis=0)])
+            xb, sb = shard_batch((xb, sb), self.mesh)
+        outputs, disp, depth = self._jitted_forward(self.variables, xb, sb)
         result = {
-            "disp": np.asarray(disp[..., 0], dtype=np.float32),
-            "depth": np.asarray(depth[..., 0], dtype=np.float32),
+            "disp": np.asarray(disp[:b, ..., 0], dtype=np.float32),
+            "depth": np.asarray(depth[:b, ..., 0], dtype=np.float32),
         }
         if ("uncertainty", 0) in outputs:
             result["uncertainty"] = np.asarray(
-                outputs[("uncertainty", 0)][..., 0], dtype=np.float32
+                outputs[("uncertainty", 0)][:b, ..., 0], dtype=np.float32
             )
         if return_all:
             result["outputs"] = {
-                k: np.asarray(v, dtype=np.float32) for k, v in outputs.items()
+                k: np.asarray(v[:b], dtype=np.float32)
+                for k, v in outputs.items()
             }
         return result

@@ -22,7 +22,40 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "param_partition_spec", "shard_params", "shard_batch"]
+__all__ = ["create_mesh", "param_partition_spec", "shard_params",
+           "shard_batch", "parse_mesh_spec"]
+
+
+def parse_mesh_spec(spec) -> Optional[Mesh]:
+    """Mesh from a CLI-style spec: None/'' -> None, a Mesh -> itself,
+    'auto' -> all local devices DP, 'data=4' / 'data=4,model=2' -> that
+    shape (data may be omitted: 'model=2' uses all devices / model)."""
+    if spec is None or isinstance(spec, Mesh):
+        return spec
+    spec = str(spec).strip()
+    if not spec:
+        return None
+    if spec == "auto":
+        return create_mesh()
+    kw = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("data", "model") or not v.strip().isdigit():
+            raise ValueError(
+                f"bad mesh spec {spec!r}: expected 'auto' or "
+                f"'data=N[,model=M]'")
+        kw[k] = int(v)
+    devices = list(jax.devices())
+    if "data" in kw:
+        # explicit size: use exactly the first data*model devices
+        need = kw["data"] * kw.get("model", 1)
+        if need > len(devices):
+            raise ValueError(
+                f"mesh spec {spec!r} needs {need} devices, "
+                f"only {len(devices)} available")
+        devices = devices[:need]
+    return create_mesh(devices, **kw)
 
 
 def create_mesh(

@@ -211,7 +211,7 @@ def test_serve_main_warmup_parses_and_precompiles(monkeypatch, capsys):
     calls = []
 
     class _FakeEstimator:
-        def __init__(self, config, seed=0):
+        def __init__(self, config, seed=0, mesh=None):
             pass
 
         def predict_batch(self, images, metadatas=None):

@@ -92,6 +92,27 @@ def make_server(service: DepthService, host: str = "127.0.0.1",
                 self._json(200, {"status": "ok", "model": model_desc})
             elif path == "/stats":
                 self._json(200, service.stats())
+            elif path == "/metrics":
+                # Prometheus text exposition format of the /stats counters
+                stats = service.stats()
+                lines = []
+                for key, mtype in (("served", "counter"),
+                                   ("batches", "counter"),
+                                   ("padded_rows", "counter"),
+                                   ("shed", "counter"),
+                                   ("queue_depth", "gauge"),
+                                   ("mean_batch_size", "gauge"),
+                                   ("uptime_s", "gauge")):
+                    name = f"monodepth_{key}"
+                    lines.append(f"# TYPE {name} {mtype}")
+                    lines.append(f"{name} {stats[key]}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
@@ -326,6 +347,17 @@ def main(argv=None) -> int:
                          fixed_shape=fixed_shape)
     print(f"Serving {desc} on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    # Graceful SIGTERM (k8s/pod preemption): finish in-flight batches,
+    # resolve pending futures with 'service closed', release the port.
+    import signal
+
+    def _sigterm(signum, frame):  # pragma: no cover - signal path
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:  # pragma: no cover - non-main thread (tests)
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:  # pragma: no cover

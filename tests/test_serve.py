@@ -289,3 +289,15 @@ def test_microbatcher_close_resolves_pending_futures(rng):
             f2.result(timeout=5)
     finally:
         release.set()
+
+
+def test_http_metrics_endpoint(http_service):
+    """/metrics exposes the stats counters in Prometheus text format."""
+    _, port = http_service
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE monodepth_served counter" in body
+    for line in body.strip().splitlines():
+        assert line.startswith("#") or len(line.split()) == 2
+    assert any(l.startswith("monodepth_uptime_s ") for l in body.splitlines())

@@ -70,6 +70,12 @@ def parse_args(argv=None):
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh", type=str, default="",
+                   help="Shard training over a device mesh: 'auto' (all "
+                        "local chips, data-parallel) or 'data=N[,model=M]' "
+                        "(Megatron TP over the ViT projections); the "
+                        "sharded train step is asserted numerically equal "
+                        "to single-device in tests/test_parallel.py")
     p.add_argument("--loader_backend", type=str, default="numpy",
                    choices=["numpy", "grain"],
                    help="host input pipeline: NumpyLoader fork pool or the "
@@ -133,9 +139,10 @@ def main(argv=None):
         loader_backend=args.loader_backend,
     )
 
+    from monodepth_tpu.parallel.mesh import parse_mesh_spec
     from monodepth_tpu.train.adapter import MarsDomainAdapter
 
-    adapter = MarsDomainAdapter(cfg)
+    adapter = MarsDomainAdapter(cfg, mesh=parse_mesh_spec(args.mesh))
     adapter.finetune(args.num_epochs)
     adapter.save_model()
 

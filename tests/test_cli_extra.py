@@ -109,6 +109,28 @@ def test_mars_finetune_cli_synthetic(image_dir, tmp_path):
     assert any("train/total" in l for l in lines)
 
 
+def test_mars_finetune_cli_mesh(image_dir, tmp_path):
+    """--mesh shards the CLI-driven train loop over the virtual device mesh
+    (data-parallel); the run completes and logs finite losses."""
+    from monodepth_tpu.cli.mars_finetune import main
+
+    rc = main([
+        "--data_dir", str(tmp_path / "data"),
+        "--seed_dir", str(image_dir),
+        "--num_epochs", "1",
+        "--batch_size", "4",
+        "--height", "32", "--width", "48",
+        "--save_dir", str(tmp_path / "ckpt"),
+        "--num_variants", "4",
+        "--mesh", "data=4",
+    ])
+    assert rc == 0
+    logs = tmp_path / "ckpt" / "logs" / "metrics.jsonl"
+    lines = [json.loads(l) for l in open(logs)]
+    vals = [l["train/total"] for l in lines if "train/total" in l]
+    assert vals and all(np.isfinite(v) for v in vals)
+
+
 def test_assert_tree_finite():
     from monodepth_tpu.utils.debugging import assert_tree_finite
 

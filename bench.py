@@ -291,14 +291,25 @@ def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
 
         post_n(2)  # HTTP-path warmup (device shapes are already compiled)
         per = max(total_requests // clients, 1)
-        threads = [threading.Thread(target=post_n, args=(per,))
-                   for _ in range(clients)]
+        errors = []
+
+        def client():
+            try:
+                post_n(per)
+            except Exception as e:  # surfaced after join — a silently
+                errors.append(e)    # dead thread would inflate img/s
+
+        threads = [threading.Thread(target=client) for _ in range(clients)]
         t0 = time.perf_counter()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
+        if errors:
+            raise RuntimeError(
+                f"{len(errors)}/{clients} serving-bench clients failed; "
+                f"first: {errors[0]!r}")
         stats = service.stats()
     finally:
         server.shutdown()

@@ -44,19 +44,24 @@ def main(argv=None):
     args = parse_args(argv)
     from monodepth_tpu.cli.run_mars_depth import collect_image_paths
 
-    folder = args.folder
-    if args.image_path and os.path.isdir(args.image_path):
-        folder = args.image_path
-    if folder:
-        paths = collect_image_paths(folder)
-        if args.ext:
-            suffix = "." + args.ext.lstrip(".").lower()
-            paths = [p for p in paths if p.lower().endswith(suffix)]
-    elif args.image_path:
-        paths = [args.image_path]
+    if args.image_path and not os.path.isdir(args.image_path):
+        paths = [args.image_path]  # single file wins over --folder
     else:
-        print("Provide --image_path or --folder")
-        return 1
+        folder = (args.image_path
+                  if args.image_path and os.path.isdir(args.image_path)
+                  else args.folder)
+        if not folder:
+            print("Provide --image_path or --folder")
+            return 1
+        if args.ext:
+            # reference --ext searches exactly that extension — any
+            # extension PIL can decode, not just the default png/jpg set
+            import glob as _glob
+
+            ext = args.ext.lstrip(".").lower()
+            paths = sorted(_glob.glob(os.path.join(folder, f"*.{ext}")))
+        else:
+            paths = collect_image_paths(folder)
     if not paths or not os.path.exists(paths[0]):
         print("No input images found")
         return 1

@@ -300,7 +300,11 @@ def main(argv=None) -> int:
                          checkpoint=args.checkpoint,
                          native_patching=args.native_resolution,
                          quantize=args.quantize)
-    estimator = MarsDepthEstimator(config, mesh=args.mesh)
+    # With --artifact the frozen program carries its own device placement;
+    # mesh-sharding the weight arrays would only add a reshard on the hot
+    # path, so the estimator is built unsharded in that case.
+    estimator = MarsDepthEstimator(config,
+                                   mesh=None if args.artifact else args.mesh)
     fixed_shape = None
     if args.artifact:
         if args.mesh:

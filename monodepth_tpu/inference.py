@@ -2,9 +2,11 @@
 
 TPU-first counterpart of the reference's per-image loop
 (run_mars_depth.py:79-253): preprocessing (/255 normalize) runs on-device
-inside jit and forwards are jit-cached per input shape.  For mesh-sharded
-batch inference wrap the model with
-`monodepth_tpu.parallel.inference.ShardedInference`.
+inside jit and forwards are jit-cached per input shape.  Pass
+`MarsDepthEstimator(cfg, mesh='auto' | 'data=N[,model=M]')` to shard device
+batches over local chips (`parallel/mesh.py` rules); the lower-level
+`monodepth_tpu.parallel.inference.ShardedInference` wraps a bare model the
+same way.
 
 Faithfully reproduces the CLI's numeric contract:
 - depth = 1 / clamp(disp, 1e-6) — the *raw reciprocal* used by
@@ -192,8 +194,11 @@ class MarsDepthEstimator:
                 None if metadata is None else [metadata],
                 return_all=return_all,
             )
+            # 'outputs' entries keep their leading batch dim of 1 — the
+            # same contract as the unsharded single-predict path
+            # (test_inference_engine asserts (1, H, W, 1) shapes).
             return {
-                k: ({kk: vv[0] for kk, vv in v.items()} if k == "outputs"
+                k: ({kk: vv[:1] for kk, vv in v.items()} if k == "outputs"
                     else v[0])
                 for k, v in batched.items()
             }

@@ -41,10 +41,11 @@ def parse_mesh_spec(spec) -> Optional[Mesh]:
     for part in spec.split(","):
         k, _, v = part.partition("=")
         k = k.strip()
-        if k not in ("data", "model") or not v.strip().isdigit():
+        if (k not in ("data", "model") or not v.strip().isdigit()
+                or int(v) < 1):
             raise ValueError(
                 f"bad mesh spec {spec!r}: expected 'auto' or "
-                f"'data=N[,model=M]'")
+                f"'data=N[,model=M]' with N, M >= 1")
         kw[k] = int(v)
     devices = list(jax.devices())
     if "data" in kw:

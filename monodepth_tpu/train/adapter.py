@@ -225,6 +225,7 @@ class MarsDomainAdapter:
         self.epoch = 0
 
         self.mesh = mesh
+        self._warned_ragged = False
         if mesh is not None:
             from monodepth_tpu.parallel.mesh import shard_params
 
@@ -365,6 +366,21 @@ class MarsDomainAdapter:
             [disp_scale_factor(m) for m in batch["metadata"]], _np.float32
         )
         if self.mesh is not None:
+            # Trim ragged batches to this host's shard multiple: an uneven
+            # split can't be placed on the data axis (device_put raises),
+            # and padded rows would pollute gradients / val metrics.  A
+            # too-small final batch trims to zero rows — callers skip it.
+            local = max(self.mesh.shape["data"] // jax.process_count(), 1)
+            keep = (len(images) // local) * local
+            if keep != len(images):
+                if not self._warned_ragged:
+                    self._warned_ragged = True
+                    print(f"Note: trimming ragged batches to a multiple of "
+                          f"{local} rows for the data={self.mesh.shape['data']} "
+                          f"mesh (e.g. {len(images)} -> {keep})")
+                images, scales = images[:keep], scales[:keep]
+            if keep == 0:
+                return images, scales
             # per-host shards -> one global sharded array (multi-host safe;
             # single-host this equals a sharded device_put)
             from monodepth_tpu.parallel.distributed import (
@@ -391,6 +407,8 @@ class MarsDomainAdapter:
             batches = self.train_loader
         for batch in batches:
             images, scales = self._prep_batch(batch)
+            if images.shape[0] == 0:  # ragged tail trimmed away (mesh)
+                continue
             self._rng, step_rng = jax.random.split(self._rng)
             self.params, self.batch_stats, self.opt_state, losses = self._train_step(
                 self.params, self.batch_stats, self.opt_state, images, scales, step_rng
@@ -414,6 +432,8 @@ class MarsDomainAdapter:
         n = 0
         for batch in self.val_loader:
             images, scales = self._prep_batch(batch)
+            if images.shape[0] == 0:  # ragged tail trimmed away (mesh)
+                continue
             self._rng, step_rng = jax.random.split(self._rng)
             losses, errs = self._eval_step(
                 self.params, self.batch_stats, images, scales, step_rng

@@ -13,7 +13,7 @@ stalls the pipeline for this shape.
 Protocol: honest harness (docs/PERF_STUDY.md §1) — pipelined dispatches,
 rotated input buffers, one small host fetch at the end.
 
-Usage: python scripts/dev_spatial_ablate.py [batch] [--full-block]
+Usage: python scripts/dev_spatial_ablate.py [batch]
 """
 
 from __future__ import annotations

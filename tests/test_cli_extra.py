@@ -216,7 +216,7 @@ def test_native_attn_flags_reach_model_config(monkeypatch):
     captured = {}
 
     class _FakeEstimator:
-        def __init__(self, config, seed=0):
+        def __init__(self, config, seed=0, mesh=None):
             captured["config"] = config
             raise RuntimeError("stop-after-config")
 

@@ -26,6 +26,10 @@ def test_parse_mesh_spec():
         parse_mesh_spec("rows=3")
     with pytest.raises(ValueError):
         parse_mesh_spec("data=x")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data=0")  # would ZeroDivide in pad math later
+    with pytest.raises(ValueError):
+        parse_mesh_spec("model=0")
 
 
 @pytest.fixture(scope="module")
@@ -63,6 +67,12 @@ def test_mesh_estimator_matches_plain(plain_estimator, batch):
     np.testing.assert_allclose(single["disp"], want["disp"][0],
                                atol=2e-5, rtol=1e-4)
     assert single["disp"].shape == (48, 64)
+
+    # return_all keeps the unsharded contract: outputs entries keep their
+    # leading batch dim of 1 (test_inference_engine asserts the same)
+    single_all = est.predict(batch[0], return_all=True)
+    for v in single_all["outputs"].values():
+        assert v.shape[0] == 1
 
 
 def test_mesh_estimator_tensor_parallel(plain_estimator, batch):

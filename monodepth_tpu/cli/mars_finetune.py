@@ -51,6 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--no_cuda", action="store_true",
                    help="Accepted for reference compatibility; device "
                         "selection is JAX's (JAX_PLATFORMS)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="> 1: average gradients over k micro-batches per "
+                        "optimizer step (effective batch k * batch_size at "
+                        "one micro-batch's HBM footprint; pairs with "
+                        "--remat for memory-bound fine-tunes)")
     p.add_argument("--checkpoint_every", type=int, default=5)
     p.add_argument("--checkpoint_every_steps", type=int, default=0,
                    help="> 0: also checkpoint every N optimizer steps WITH "
@@ -137,6 +142,7 @@ def main(argv=None):
         seed=args.seed,
         resume=args.resume,
         loader_backend=args.loader_backend,
+        grad_accum_steps=args.grad_accum,
     )
 
     from monodepth_tpu.parallel.mesh import parse_mesh_spec

@@ -89,6 +89,11 @@ class TrainConfig:
     width: int = 512
     depth_weight: float = 1.0
     smoothness_weight: float = 0.001
+    # > 1: average gradients over k micro-batches per optimizer step
+    # (optax.MultiSteps) — effective batch k * batch_size at the HBM
+    # footprint of one micro-batch.  LR schedule and StepLR epochs count
+    # optimizer steps, not micro-batches.
+    grad_accum_steps: int = 1
     # 'reference' reproduces the reference's jittered-L1 placeholder loss
     # (mars_adapter.py:237-242); 'flip' uses left-right flip consistency;
     # 'photometric' is the SSIM+L1 reprojection objective over

@@ -55,18 +55,28 @@ def _label_params(params) -> Dict:
 
 
 def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
+    """steps_per_epoch counts LOADER batches; with gradient accumulation the
+    schedules tick on optimizer steps (one per `grad_accum_steps` batches)."""
+    accum = max(getattr(cfg, "grad_accum_steps", 1), 1)
+    opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
     enc_schedule = make_lr_schedule(
-        cfg.learning_rate * cfg.encoder_lr_factor, steps_per_epoch,
+        cfg.learning_rate * cfg.encoder_lr_factor, opt_steps_per_epoch,
         cfg.scheduler_step_size, cfg.scheduler_gamma,
     )
     rest_schedule = make_lr_schedule(
-        cfg.learning_rate, steps_per_epoch,
+        cfg.learning_rate, opt_steps_per_epoch,
         cfg.scheduler_step_size, cfg.scheduler_gamma,
     )
     tx = optax.multi_transform(
         {"encoder": optax.adam(enc_schedule), "rest": optax.adam(rest_schedule)},
         _label_params(params),
     )
+    if accum > 1:
+        # Micro-batch gradient accumulation: k batches average into one
+        # optimizer step (effective batch = k * batch_size at the HBM cost
+        # of one micro-batch; pairs with --remat).  The accumulator lives
+        # in opt_state, so mid-accumulation checkpoints resume exactly.
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 

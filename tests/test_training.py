@@ -273,6 +273,36 @@ def test_adapter_flip_mode_trains(tiny_data, tmp_path):
     assert losses["depth"] >= 0.0
 
 
+def test_grad_accum_matches_single_step(tiny_data, tmp_path):
+    """grad_accum_steps=2 over two identical micro-batches equals ONE step of
+    the plain optimizer on that batch (mean of identical grads = the grad),
+    and the mid-accumulation micro-batch leaves params untouched."""
+    acc = MarsDomainAdapter(
+        _tiny_cfg(tmp_path / "a", data_dir=tiny_data, grad_accum_steps=2))
+    one = MarsDomainAdapter(_tiny_cfg(tmp_path / "b", data_dir=tiny_data))
+
+    images = jnp.asarray(
+        np.random.default_rng(3).random((2, 32, 48, 3)).astype(np.float32))
+    scales = jnp.ones((2,), jnp.float32)
+    rng0 = jax.random.PRNGKey(7)
+
+    p0 = jax.tree_util.tree_map(np.asarray, acc.params)
+    acc.params, acc.batch_stats, acc.opt_state, _ = acc._train_step(
+        acc.params, acc.batch_stats, acc.opt_state, images, scales, rng0)
+    for before, after in zip(jax.tree_util.tree_leaves(p0),
+                             jax.tree_util.tree_leaves(acc.params)):
+        np.testing.assert_array_equal(before, np.asarray(after))
+
+    acc.params, acc.batch_stats, acc.opt_state, _ = acc._train_step(
+        acc.params, acc.batch_stats, acc.opt_state, images, scales, rng0)
+    one.params, one.batch_stats, one.opt_state, _ = one._train_step(
+        one.params, one.batch_stats, one.opt_state, images, scales, rng0)
+    for got, want in zip(jax.tree_util.tree_leaves(acc.params),
+                         jax.tree_util.tree_leaves(one.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-5)
+
+
 def test_adapter_mesh_ragged_val_batch(tmp_path):
     """Mesh training survives ragged batches: uneven device_put splits are
     impossible, so ragged tails trim to the data-axis multiple (dropped

@@ -33,6 +33,16 @@ __all__ = ["fused_mha", "fused_mha_short", "fused_window_mha",
 _NEG_BIG = -1e30  # softmax mask value: exp(-1e30 - m) underflows to exactly 0
 
 
+def _compiler_params(dim_sem):
+    """Mosaic dimension semantics: output-tiling dims are 'parallel', the
+    online-softmax K sweep is 'arbitrary' (sequential reduction carrying
+    VMEM scratch).  None = let Mosaic infer (the pre-round-3 behavior,
+    kept for within-run A/B via the dim_sem=None override)."""
+    if dim_sem is None:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=tuple(dim_sem))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -108,7 +118,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *scratch,
 
 def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
                      block_k: int = 1024, interpret: bool = False,
-                     valid_len: int = None, full_kv: bool = None):
+                     valid_len: int = None, full_kv: bool = None,
+                     dim_sem=("parallel", "parallel", "arbitrary")):
     """Generic flash attention: q [G, Sq, Dk], k [G, Sk, Dk], v [G, Sk, Dv].
 
     Returns [G, Sq, Dv].  G = batch*heads (MHA) or batch (spatial).  Sq and
@@ -181,6 +192,7 @@ def _flash_attention(q, k, v, *, scale: float, block_q: int = 512,
             pltpu.VMEM((block_q, dv_ext), jnp.float32),  # acc (+ packed norm)
         ] + ([] if packed_norm
              else [pltpu.VMEM((block_q, 128), jnp.float32)]),  # normalizer
+        compiler_params=_compiler_params(dim_sem),
         interpret=interpret,
     )(q, k, v)
     return out[:, :s, :dv]
@@ -284,6 +296,7 @@ def fused_mha_short(q, k, v, *, num_heads: int, interpret: bool = False,
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, dim), v.dtype),
+        compiler_params=_compiler_params(("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v)
     return out[:, :s, :]
@@ -366,6 +379,7 @@ def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, nh, nw, dim), v.dtype),
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(grid4(q), grid4(k), grid4(v))
     return out.reshape(b, s, dim)
@@ -373,7 +387,8 @@ def fused_window_mha(q, k, v, *, num_heads: int, grid_hw, window: int,
 
 def fused_spatial_attention(q, k, v, *, block_q: int = 512,
                             block_k: int = 1024, interpret: bool = False,
-                            full_kv: bool = None):
+                            full_kv: bool = None,
+                            dim_sem=("parallel", "parallel", "arbitrary")):
     """Spatial non-local attention: q, k [B, N, Cq], v [B, N, C] -> [B, N, C].
 
     out_i = sum_j softmax_j(<q_i, k_j>) v_j  (no scaling, matching the
@@ -382,4 +397,4 @@ def fused_spatial_attention(q, k, v, *, block_q: int = 512,
     n = q.shape[1]
     return _flash_attention(q, k, v, scale=1.0, block_q=block_q,
                             block_k=block_k, interpret=interpret,
-                            valid_len=n, full_kv=full_kv)
+                            valid_len=n, full_kv=full_kv, dim_sem=dim_sem)

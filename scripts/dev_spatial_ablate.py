@@ -72,6 +72,8 @@ def main():
         ("xla (HBM logits)", None),
         ("flash bq512 full-KV (current default)",
          dict(block_q=512, full_kv=True)),
+        ("flash bq512 full-KV no-dimsem",
+         dict(block_q=512, full_kv=True, dim_sem=None)),
         ("flash bq512 bk1024", dict(block_q=512, block_k=1024, full_kv=False)),
         ("flash bq512 bk2048", dict(block_q=512, block_k=2048, full_kv=False)),
         ("flash bq256 full-KV", dict(block_q=256, full_kv=True)),

@@ -103,18 +103,22 @@ def test_adapter_resume(tiny_data, tmp_path):
     assert adapter2.epoch == 1
 
 
-def test_midepoch_checkpoint_resume_matches_uninterrupted(tiny_data, tmp_path):
+@pytest.mark.parametrize("accum", [1, 2])
+def test_midepoch_checkpoint_resume_matches_uninterrupted(
+        tiny_data, tmp_path, accum):
     """Preemption-safe training (grain backend): kill a run mid-epoch after
     a step checkpoint, resume in a NEW process-equivalent adapter, and the
     final params equal the uninterrupted run exactly (same batches in the
-    same order with the same RNG stream — no replayed or skipped data)."""
+    same order with the same RNG stream — no replayed or skipped data).
+    accum=2 crashes MID-ACCUMULATION: the optax.MultiSteps gradient
+    accumulator and counter must round-trip through the checkpoint."""
     import os
 
     import jax
 
     def cfg_for(sub, **kw):
         return _tiny_cfg(tmp_path / sub, data_dir=tiny_data,
-                         loader_backend="grain", **kw)
+                         loader_backend="grain", grad_accum_steps=accum, **kw)
 
     # reference: uninterrupted single epoch (2 steps with batch 2 over 4)
     ref = MarsDomainAdapter(cfg_for("ref"))

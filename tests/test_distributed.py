@@ -191,16 +191,19 @@ def test_two_process_train_step_matches_single(tmp_path):
 
 
 # --------------------------------------- sharded train-step equivalence
-def test_sharded_train_step_matches_single_device():
+@pytest.mark.parametrize("accum", [1, 2])
+def test_sharded_train_step_matches_single_device(accum):
     """One TP+DP train step (grads through the sharded ViT, optimizer
-    update) == the single-device step (VERDICT r1 item 6)."""
+    update) == the single-device step (VERDICT r1 item 6).  accum=2 runs
+    the step twice so the optax.MultiSteps gradient accumulator itself
+    lives and updates as a SHARDED tree before the real optimizer update."""
     from monodepth_tpu.config import ModelConfig, TrainConfig
     from monodepth_tpu.models import DepthAnything
     from monodepth_tpu.parallel.mesh import shard_batch
     from monodepth_tpu.train.adapter import make_optimizer, make_train_step
 
     cfg = TrainConfig(model=ModelConfig(pretrained=False), height=48, width=64,
-                      checkpoint_dir="")
+                      checkpoint_dir="", grad_accum_steps=accum)
     model = DepthAnything()
     rng = np.random.default_rng(0)
     images = np.asarray(rng.random((4, 48, 64, 3), dtype=np.float32))
@@ -221,8 +224,10 @@ def test_sharded_train_step_matches_single_device():
             params, stats = placed["params"], placed["batch_stats"]
             opt_state = tx.init(params)
             x, s = shard_batch((x, s), mesh)
-        new_params, new_stats, _, losses = step(params, stats, opt_state, x, s, key)
-        return new_params, new_stats, losses
+        for _ in range(accum):  # accum micro-batches -> one optimizer update
+            params, stats, opt_state, losses = step(
+                params, stats, opt_state, x, s, key)
+        return params, stats, losses
 
     p_single, s_single, l_single = one_step(None)
     mesh = create_mesh(jax.devices()[:8], model=2)

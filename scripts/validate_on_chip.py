@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     import jax
+
+    if "--small" in sys.argv:
+        # smoke mode: run the gate's own logic on CPU (the axon site hook
+        # forces the TPU backend, which may be unreachable)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import torch
 
@@ -73,9 +78,90 @@ def main() -> int:
           "enhanced_96x112", xe.numpy().transpose(0, 2, 3, 1), 2.0,
           lambda k: 5e-3 if k[0] == "depth" else 5e-4)
 
+    failures += check_compiled_kernels(small="--small" in sys.argv)
+
     print("ON-CHIP PARITY:", "PASS" if failures == 0 else f"FAIL ({failures})",
           flush=True)
     return 1 if failures else 0
+
+
+def check_compiled_kernels(small: bool = False) -> int:
+    """Mosaic-COMPILED Pallas kernels vs the XLA reference on this backend.
+
+    The CI suite exercises the kernels in interpret mode only (CPU); this is
+    the only place the compiled Mosaic programs (incl. dimension_semantics,
+    block pipelining) are numerically checked on real hardware.  bf16
+    operands / f32 accumulation on BOTH sides, production shapes; --small
+    shrinks shapes for a CPU smoke run of this function itself.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.ops import attention as oa
+    from monodepth_tpu.ops.pallas import attention as pk
+
+    interpret = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+    heads = 12
+
+    def mk(*shape):
+        return (jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+                .astype(jnp.bfloat16))
+
+    # (b, seq) for the long/global shapes; 64x64 grid = the 1024px native mode
+    b, s_long, grid = (1, 513, (16, 32)) if small else (2, 4097, (64, 64))
+    s_grid = 1 + grid[0] * grid[1]
+    failures = 0
+
+    def run(tag, got_fn, want_fn, args, atol):
+        nonlocal failures
+        got = np.asarray(jax.jit(got_fn)(*args), dtype=np.float32)
+        want = np.asarray(jax.jit(want_fn)(*args), dtype=np.float32)
+        err = float(np.abs(got - want).max())
+        mean = float(np.abs(got - want).mean())
+        ok = err <= atol and mean <= atol / 10
+        print(f"  kernel {tag}: max|err| {err:.2e} mean {mean:.2e} "
+              f"(atol {atol:g}) {'ok' if ok else 'FAIL'}", flush=True)
+        failures += 0 if ok else 1
+
+    # 1. flash MHA at the native global-block shape (odd length: padding+mask)
+    qkv = (mk(b, s_long, 768), mk(b, s_long, 768), mk(b, s_long, 768))
+    run("flash_mha",
+        lambda q, k, v: pk.fused_mha(q, k, v, num_heads=heads,
+                                     interpret=interpret),
+        lambda q, k, v: oa._mha_xla(q, k, v, heads), qkv, atol=4e-2)
+
+    # 2. packed-head short kernel at the parity shape (208 padded, 197 valid)
+    qkv = (mk(2, 208, 768), mk(2, 208, 768), mk(2, 208, 768))
+    run("short_mha",
+        lambda q, k, v: pk.fused_mha_short(q, k, v, num_heads=heads,
+                                           valid_len=197,
+                                           interpret=interpret),
+        lambda q, k, v: oa._mha_xla(q, k, v, heads, valid_len=197),
+        qkv, atol=4e-2)
+
+    # 3. whole windowed layer (window-direct kernel + CLS row) impl A/B
+    qkv = (mk(b, s_grid, 768), mk(b, s_grid, 768), mk(b, s_grid, 768))
+    run("window_mha",
+        lambda q, k, v: oa.windowed_mha(q, k, v, num_heads=heads,
+                                        grid_hw=grid, window=16,
+                                        impl="pallas"),
+        lambda q, k, v: oa.windowed_mha(q, k, v, num_heads=heads,
+                                        grid_hw=grid, window=16, impl="xla"),
+        qkv, atol=4e-2)
+
+    # 4. enhanced spatial attention (Dv=256, unscaled logits)
+    n = grid[0] * grid[1]
+    qkv = (mk(b, n, 32), mk(b, n, 32), mk(b, n, 256))
+    run("spatial",
+        lambda q, k, v: pk.fused_spatial_attention(q, k, v,
+                                                   interpret=interpret),
+        lambda q, k, v: oa.spatial_self_attention(
+            q.reshape(b, *grid, 32), k.reshape(b, *grid, 32),
+            v.reshape(b, *grid, 256), jnp.zeros((b, *grid, 256), v.dtype),
+            jnp.bfloat16(1.0), impl="xla").reshape(b, n, 256),
+        qkv, atol=4e-2)
+    return failures
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ def parse_args(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--native_resolution", action="store_true")
     p.add_argument("--attn_window", type=int, default=16)
+    p.add_argument("--vit", type=str, default="base",
+                   choices=["small", "base", "large"],
+                   help="ViT backbone size (base = reference parity)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="Optional reference .pth / orbax checkpoint — only "
                         "loaded when --verify runs the live model; export "
@@ -55,6 +58,7 @@ def main(argv=None):
         enhanced=args.enhanced_model, dtype=args.dtype,
         native_patching=args.native_resolution,
         attn_window=args.attn_window, checkpoint=args.checkpoint,
+        vit_variant=args.vit,
     )
     estimator = None
     if args.verify:

@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--no_cuda", action="store_true",
                    help="Accepted for reference compatibility; device "
                         "selection is JAX's (JAX_PLATFORMS)")
+    p.add_argument("--vit", type=str, default="base",
+                   choices=["small", "base", "large"],
+                   help="ViT backbone size (base = reference vit_b_16 "
+                        "parity)")
     p.add_argument("--grad_accum", type=int, default=1,
                    help="> 1: average gradients over k micro-batches per "
                         "optimizer step (effective batch k * batch_size at "
@@ -123,7 +127,8 @@ def main(argv=None):
 
     cfg = TrainConfig(
         model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
-                          remat=args.remat, checkpoint=args.model_weights),
+                          remat=args.remat, checkpoint=args.model_weights,
+                          vit_variant=args.vit),
         data_dir=args.data_dir,
         source_type=args.source_type,
         batch_size=args.batch_size,

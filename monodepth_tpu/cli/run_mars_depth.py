@@ -86,6 +86,11 @@ def parse_args(argv=None):
                              "pretrained ViT in this environment); run "
                              "scripts/validate_real_weights.py when a "
                              "checkpoint lands.")
+    parser.add_argument("--vit", type=str, default="base",
+                        choices=["small", "base", "large"],
+                        help="ViT backbone size (base = reference vit_b_16 "
+                             "parity; small/large need matching checkpoints "
+                             "— a vit_b_16 file is refused with a warning)")
     parser.add_argument("--mesh", type=str, default="",
                         help="Shard batched inference over a device mesh: "
                              "'auto' (all local chips, data-parallel) or "
@@ -339,6 +344,7 @@ def main(argv=None):
         attn_window=args.attn_window if args.native_resolution else 0,
         attn_global_pool=args.global_pool if args.native_resolution else 0,
         quantize=args.quantize,
+        vit_variant=args.vit,
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")

@@ -273,6 +273,9 @@ def main(argv=None) -> int:
                    help="int8: ViT matmuls on the quantized MXU path "
                         "(accuracy bounds: tests/test_quant.py; real-asset "
                         "agreement r=0.986 vs bf16, docs/PERF_STUDY.md)")
+    p.add_argument("--vit", default="base",
+                   choices=["small", "base", "large"],
+                   help="ViT backbone size (base = reference parity)")
     p.add_argument("--mesh", default="",
                    help="shard device batches over a mesh: 'auto' (all "
                         "local chips, data-parallel) or 'data=N[,model=M]' "
@@ -297,6 +300,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     config = ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
+                         vit_variant=args.vit,
                          checkpoint=args.checkpoint,
                          native_patching=args.native_resolution,
                          quantize=args.quantize)

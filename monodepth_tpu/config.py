@@ -27,6 +27,10 @@ class ModelConfig:
     # parity path (where XLA's fused attention wins in-tower); 'xla' /
     # 'pallas' force one.
     attn_impl: str = "auto"
+    # ViT backbone size: 'small' | 'base' (reference vit_b_16 parity) |
+    # 'large' (models/encoder.py VIT_VARIANTS).  The decoder and all heads
+    # are variant-independent (channel_reduce maps any width to 256).
+    vit_variant: str = "base"
     native_patching: bool = False
     # Native mode only: ViTDet-style window-local attention side (in
     # patches) for non-tap ViT blocks; 0 = global attention everywhere.

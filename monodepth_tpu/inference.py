@@ -111,7 +111,13 @@ class MarsDepthEstimator:
         elif self.config.pretrained:
             vit = weights_lib.maybe_load_pretrained_vit()
             if vit is not None:
-                variables["params"]["encoder"]["vit"] = vit
+                if weights_lib.vit_params_compatible(
+                        vit, variables["params"]["encoder"]["vit"]):
+                    variables["params"]["encoder"]["vit"] = vit
+                else:
+                    print(f"Pretrained ViT checkpoint does not match "
+                          f"vit_variant={self.config.vit_variant!r}; "
+                          f"keeping random init")
         # Keep weights resident on device — otherwise every jitted call
         # re-uploads ~350 MB of host arrays (measured ~10 s/call through the
         # serving tunnel vs ~30 ms resident).

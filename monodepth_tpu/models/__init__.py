@@ -38,6 +38,7 @@ def build_model(cfg, *, output_scales=None):
         attn_global_pool=cfg.attn_global_pool,
         quantize=cfg.quantize,
         remat=cfg.remat,
+        vit_variant=cfg.vit_variant,
     )
     if cfg.enhanced:
         return EnhancedDepthAnything(light_outputs=cfg.light_outputs, **kwargs)

@@ -29,9 +29,25 @@ import jax.numpy as jnp
 from monodepth_tpu.models.vit import VisionTransformer
 from monodepth_tpu.ops.resize import resize_bilinear
 
-__all__ = ["DepthAnythingEncoder", "NUM_CH_ENC"]
+__all__ = ["DepthAnythingEncoder", "NUM_CH_ENC", "VIT_VARIANTS"]
 
 NUM_CH_ENC = (256, 256, 256, 256)
+
+# ViT backbone size variants (torchvision vit_{s,b,l}_16 dims; patch 16,
+# 224 parity input -> 197 tokens for all of them).  The reference hard-codes
+# vit_b_16 (encoder.py:29-35); 'base' is the parity default.  Taps stay the
+# reference's evenly-spaced quarter points (blocks [L/4*k - 1 + offset]):
+# [2, 5, 8, 11] for 12 layers, [5, 11, 17, 23] for 24.  The channel_reduce
+# convs map any hidden width to the decoder's fixed 256, so the decoder and
+# every downstream head are variant-independent.
+VIT_VARIANTS = {
+    "small": dict(hidden_dim=384, num_layers=12, num_heads=6,
+                  mlp_dim=1536, tap_indices=(2, 5, 8, 11)),
+    "base": dict(hidden_dim=768, num_layers=12, num_heads=12,
+                 mlp_dim=3072, tap_indices=(2, 5, 8, 11)),
+    "large": dict(hidden_dim=1024, num_layers=24, num_heads=16,
+                  mlp_dim=4096, tap_indices=(5, 11, 17, 23)),
+}
 
 
 def _instance_norm(x, eps: float = 1e-5):
@@ -81,7 +97,9 @@ def token_grid_shape(tokens: int, feature_h: int, feature_w: int):
 class DepthAnythingEncoder(nn.Module):
     """ViT feature encoder producing 4 NHWC feature maps of 256 channels."""
 
-    tap_indices: Sequence[int] = (2, 5, 8, 11)
+    # None = the variant's default taps (VIT_VARIANTS); a tuple overrides.
+    tap_indices: Sequence[int] = None
+    vit_variant: str = "base"
     vit_image_size: int = 224
     native_patching: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -114,9 +132,16 @@ class DepthAnythingEncoder(nn.Module):
         )(x)
         x = _range_normalize(x).astype(self.dtype)
 
+        spec = VIT_VARIANTS[self.vit_variant]
+        taps_idx = (tuple(self.tap_indices) if self.tap_indices is not None
+                    else tuple(spec["tap_indices"]))
         vit = VisionTransformer(
             image_size=self.vit_image_size,
-            tap_indices=tuple(self.tap_indices),
+            hidden_dim=spec["hidden_dim"],
+            num_layers=spec["num_layers"],
+            num_heads=spec["num_heads"],
+            mlp_dim=spec["mlp_dim"],
+            tap_indices=taps_idx,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,

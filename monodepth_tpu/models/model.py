@@ -116,6 +116,9 @@ class DepthAnything(nn.Module):
     attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
+    # ViT backbone size: 'small' | 'base' (reference parity) | 'large'
+    # (models/encoder.py VIT_VARIANTS).
+    vit_variant: str = "base"
     # Perf knob: when set, only these ("disp", s) keys are resized to input
     # size and returned (the CLI consumes only scale 0; skipping the other
     # three full-resolution resizes saves most of the output bandwidth).
@@ -139,6 +142,7 @@ class DepthAnything(nn.Module):
             attn_window=self.attn_window,
             attn_global_pool=self.attn_global_pool,
             quantize=self.quantize,
+            vit_variant=self.vit_variant,
             name="encoder",
         )(x, train=train)
 

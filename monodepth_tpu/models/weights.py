@@ -76,8 +76,15 @@ def _mlp_key(sd, prefix, which):
     raise KeyError(f"MLP weights not found under {new} or {old}")
 
 
-def convert_vit_state_dict(sd: Mapping, num_layers: int = 12) -> Dict:
-    """torchvision vit_b_16 state dict -> our VisionTransformer params tree."""
+def convert_vit_state_dict(sd: Mapping, num_layers: int = None) -> Dict:
+    """torchvision vit_{s,b,l}_16 state dict -> our VisionTransformer params.
+
+    num_layers=None infers the depth from the `encoder_layer_{i}` keys, so
+    vit_l_16 (24 layers) converts with no extra arguments."""
+    if num_layers is None:
+        num_layers = 1 + max(
+            int(k.split("encoder_layer_")[1].split(".")[0])
+            for k in sd if "encoder_layer_" in k)
     params: Dict = {
         "patch_embed": _conv(sd, "conv_proj"),
         "cls_token": _t(sd["class_token"]),
@@ -328,3 +335,19 @@ def maybe_load_pretrained_vit() -> Optional[Dict]:
         )
         return None
     return convert_vit_state_dict(load_torch_state_dict(path))
+
+
+def vit_params_compatible(loaded: Mapping, template: Mapping) -> bool:
+    """True when a converted ViT checkpoint fits the model's backbone
+    variant (same depth, same hidden width).  Guards against silently
+    grafting vit_b_16 weights onto a 'small'/'large' encoder — shapes would
+    only blow up at the first jitted apply, far from the cause."""
+    try:
+        import numpy as _np
+
+        if set(loaded) != set(template):
+            return False
+        return (_np.shape(loaded["pos_embedding"])
+                == _np.shape(template["pos_embedding"]))
+    except Exception:  # malformed tree: not compatible
+        return False

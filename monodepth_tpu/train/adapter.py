@@ -221,12 +221,19 @@ class MarsDomainAdapter:
             self.params = dict(loaded["params"])
             self.batch_stats = dict(loaded["batch_stats"])
         elif cfg.model.pretrained:
-            from monodepth_tpu.models.weights import maybe_load_pretrained_vit
+            from monodepth_tpu.models.weights import (
+                maybe_load_pretrained_vit, vit_params_compatible,
+            )
 
             vit = maybe_load_pretrained_vit()
             if vit is not None:
-                self.params["encoder"] = dict(self.params["encoder"])
-                self.params["encoder"]["vit"] = vit
+                if vit_params_compatible(vit, self.params["encoder"]["vit"]):
+                    self.params["encoder"] = dict(self.params["encoder"])
+                    self.params["encoder"]["vit"] = vit
+                else:
+                    print(f"Pretrained ViT checkpoint does not match "
+                          f"vit_variant={cfg.model.vit_variant!r}; "
+                          f"keeping random init")
 
         steps_per_epoch = max(len(self.train_loader), 1)
         self.tx = make_optimizer(self.params, cfg, steps_per_epoch)

@@ -37,8 +37,14 @@ def _compiler_params(dim_sem):
     """Mosaic dimension semantics: output-tiling dims are 'parallel', the
     online-softmax K sweep is 'arbitrary' (sequential reduction carrying
     VMEM scratch).  None = let Mosaic infer (the pre-round-3 behavior,
-    kept for within-run A/B via the dim_sem=None override)."""
-    if dim_sem is None:
+    kept for within-run A/B via the dim_sem=None override).
+
+    MONODEPTH_TPU_NO_DIMSEM=1 disables the hints globally; it is read at
+    TRACE time, so a dev harness can flip it between two jit builds in one
+    process for a within-run whole-model A/B (dev_native_ablate)."""
+    import os
+
+    if dim_sem is None or os.environ.get("MONODEPTH_TPU_NO_DIMSEM") == "1":
         return None
     return pltpu.CompilerParams(dimension_semantics=tuple(dim_sem))
 

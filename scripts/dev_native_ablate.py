@@ -109,6 +109,20 @@ def main():
         dt = timeit(f, tvars, tokens_list)
         print(f"tower {mode:9s}: {dt*1e3:.1f} ms", flush=True)
 
+    # within-run A/B: Mosaic dimension_semantics hints on vs off (the env
+    # var is read at TRACE time, so two fresh jit builds differ)
+    for label, env in (("dimsem on ", None), ("dimsem off", "1")):
+        if env is None:
+            os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
+        else:
+            os.environ["MONODEPTH_TPU_NO_DIMSEM"] = env
+        tower = Tower(mode="mixed")
+        tvars = tower.init(jax.random.PRNGKey(1), tokens_list[0][:1])
+        f = jax.jit(lambda v, xx, _t=tower: _t.apply(v, xx)[:, :1, :8])
+        dt = timeit(f, tvars, tokens_list)
+        print(f"tower mixed {label}: {dt*1e3:.1f} ms", flush=True)
+    os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
+
     if "--enhanced" in sys.argv:
         # Enhanced-native budget (VERDICT r2 item 6): full enhanced forward,
         # then the enhanced-only extras isolated (spatial attention on the

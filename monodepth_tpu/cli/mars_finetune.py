@@ -85,6 +85,11 @@ def parse_args(argv=None):
                         "(Megatron TP over the ViT projections); the "
                         "sharded train step is asserted numerically equal "
                         "to single-device in tests/test_parallel.py")
+    p.add_argument("--fsdp", action="store_true",
+                   help="With --mesh: additionally shard large ViT params "
+                        "and their Adam/accumulator state over the 'data' "
+                        "axis (ZeRO-3-style FSDP; parallel/mesh.py). "
+                        "Essential for --vit large, optional for base")
     p.add_argument("--loader_backend", type=str, default="numpy",
                    choices=["numpy", "grain"],
                    help="host input pipeline: NumpyLoader fork pool or the "
@@ -148,12 +153,17 @@ def main(argv=None):
         resume=args.resume,
         loader_backend=args.loader_backend,
         grad_accum_steps=args.grad_accum,
+        fsdp=args.fsdp,
     )
 
     from monodepth_tpu.parallel.mesh import parse_mesh_spec
     from monodepth_tpu.train.adapter import MarsDomainAdapter
 
-    adapter = MarsDomainAdapter(cfg, mesh=parse_mesh_spec(args.mesh))
+    mesh = parse_mesh_spec(args.mesh)
+    if args.fsdp and mesh is None:
+        raise SystemExit("--fsdp requires --mesh (params shard over the "
+                         "mesh's 'data' axis)")
+    adapter = MarsDomainAdapter(cfg, mesh=mesh)
     adapter.finetune(args.num_epochs)
     adapter.save_model()
 

@@ -121,6 +121,12 @@ class TrainConfig:
     log_every: int = 10
     resume: bool = False
     data_parallel: bool = True
+    # Fully sharded data parallelism (ZeRO-3-style): shard every large ViT
+    # parameter — and with it the Adam moments and grad-accumulation
+    # buffers — over the mesh's 'data' axis (parallel/mesh.py docstring).
+    # Needs a mesh; essential for `--vit large` (~2.4 GB of replicated
+    # Adam state otherwise), optional memory/bandwidth trade for ViT-B.
+    fsdp: bool = False
 
 
 def image_size_hw(cfg: TrainConfig) -> Tuple[int, int]:

@@ -9,6 +9,15 @@ collectives.
   all-reduce per projection pair, riding ICI).
 - Everything else (convs, norms, small decoder) is replicated — the decoder
   is tiny; TP would only add latency.
+- FSDP (ZeRO-3-style): `fsdp=True` additionally shards every large ViT
+  parameter — and therefore its Adam moments and grad-accumulation
+  buffers, which are created with the params' placement — over the
+  existing 'data' axis.  XLA's SPMD partitioner inserts the all-gather at
+  each weight's use site and keeps gradients/updates sharded, which is
+  exactly the FSDP schedule; no wrapper classes or manual collectives.
+  Worth it for the ViT-L backbone (`--vit large`, ~300 M params: Adam
+  state alone is ~2.4 GB f32 replicated); for ViT-B it trades a small
+  amount of ICI traffic for ~1/data_size of the optimizer memory.
 - Pipeline/expert parallelism: not applicable at this model scale
   (SURVEY.md §2.3); sequence parallelism is a kernel-level concern
   (blockwise attention) rather than a cross-chip one.
@@ -86,20 +95,38 @@ _ROW_PARALLEL = ("out_proj/kernel", "mlp/fc2/kernel")
 _COLUMN_BIAS = ("qkv/bias", "mlp/fc1/bias")
 
 
-def param_partition_spec(path: Tuple[str, ...], value) -> P:
-    """PartitionSpec for one parameter by its tree path."""
+# FSDP only shards params at least this large: below it the all-gather
+# latency outweighs the memory saved (norm scales, biases, cls tokens).
+_FSDP_MIN_ELEMENTS = 65536
+
+
+def param_partition_spec(path: Tuple[str, ...], value, fsdp_data: int = 0) -> P:
+    """PartitionSpec for one parameter by its tree path.
+
+    With `fsdp_data` = the 'data'-axis size (> 1), large ViT parameters get
+    their biggest not-already-sharded, divisible dim sharded over 'data' on
+    top of the TP rules (ZeRO-3-style fully sharded data parallelism)."""
     joined = "/".join(path)
+    spec: Tuple = ()
     if "vit" in joined:
         for suffix in _COLUMN_PARALLEL:
             if joined.endswith(suffix):
-                return P(None, "model")
+                spec = (None, "model")
         for suffix in _ROW_PARALLEL:
             if joined.endswith(suffix):
-                return P("model", None)
+                spec = ("model", None)
         for suffix in _COLUMN_BIAS:
             if joined.endswith(suffix):
-                return P("model")
-    return P()
+                spec = ("model",)
+        shape = getattr(value, "shape", None)
+        if (fsdp_data > 1 and shape
+                and int(np.prod(shape)) >= _FSDP_MIN_ELEMENTS):
+            dims = list(spec) + [None] * (len(shape) - len(spec))
+            for i in sorted(range(len(shape)), key=lambda j: -shape[j]):
+                if dims[i] is None and shape[i] % fsdp_data == 0:
+                    dims[i] = "data"
+                    return P(*dims)
+    return P(*spec)
 
 
 def _path_strings(path) -> Tuple[str, ...]:
@@ -114,11 +141,16 @@ def _path_strings(path) -> Tuple[str, ...]:
     return tuple(out)
 
 
-def shard_params(variables, mesh: Mesh):
-    """Place a variables pytree onto the mesh per `param_partition_spec`."""
+def shard_params(variables, mesh: Mesh, fsdp: bool = False):
+    """Place a variables pytree onto the mesh per `param_partition_spec`.
+
+    fsdp=True additionally shards large ViT params over the 'data' axis
+    (see the module docstring); optimizer states created AFTER this
+    placement inherit it leaf-by-leaf (`zeros_like` keeps sharding)."""
+    fsdp_data = mesh.shape["data"] if fsdp else 0
 
     def place(path, x):
-        spec = param_partition_spec(_path_strings(path), x)
+        spec = param_partition_spec(_path_strings(path), x, fsdp_data)
         # Replicate anything whose sharded dim isn't divisible.
         try:
             return jax.device_put(x, NamedSharding(mesh, spec))

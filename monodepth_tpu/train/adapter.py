@@ -80,9 +80,25 @@ def make_optimizer(params, cfg: TrainConfig, steps_per_epoch: int):
     return tx
 
 
-def make_train_step(model, tx, cfg: TrainConfig):
+def _constrain_tree(tree, shardings):
+    """with_sharding_constraint on every leaf that has a NamedSharding
+    (scalar optimizer counters etc. keep their default placement)."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree_util.tree_map(
+        lambda x, s: (jax.lax.with_sharding_constraint(x, s)
+                      if isinstance(s, NamedSharding) else x),
+        tree, shardings)
+
+
+def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None):
     """Build the jitted train step: (params, batch_stats, opt_state, images,
-    scales, rng) -> (new trees, losses)."""
+    scales, rng) -> (new trees, losses).
+
+    state_shardings: optional (param_shardings, opt_state_shardings) pytrees
+    (leaf = each input's `.sharding`).  Without the constraint GSPMD is free
+    to emit replicated updated params/moments, silently un-doing FSDP after
+    the first step; with it the outputs keep the input placement."""
 
     loss_mode = getattr(cfg, "loss_mode", "reference")
 
@@ -140,6 +156,9 @@ def make_train_step(model, tx, cfg: TrainConfig):
         grads, (new_stats, losses) = jax.grad(loss_fn, has_aux=True)(params)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if state_shardings is not None:
+            new_params = _constrain_tree(new_params, state_shardings[0])
+            new_opt_state = _constrain_tree(new_opt_state, state_shardings[1])
         return new_params, new_stats, new_opt_state, losses
 
     return train_step
@@ -235,24 +254,22 @@ class MarsDomainAdapter:
                           f"vit_variant={cfg.model.vit_variant!r}; "
                           f"keeping random init")
 
+        self.mesh = mesh
+        self._warned_ragged = False
+        self._place_on_mesh()
+
+        # Optimizer state is created AFTER mesh placement so its leaves
+        # (Adam moments, MultiSteps accumulators) inherit each param's
+        # sharding — with cfg.fsdp that is what shards the optimizer
+        # memory over the 'data' axis (ZeRO-3 behavior).
         steps_per_epoch = max(len(self.train_loader), 1)
         self.tx = make_optimizer(self.params, cfg, steps_per_epoch)
         self.opt_state = self.tx.init(self.params)
         self.step = 0
         self.epoch = 0
 
-        self.mesh = mesh
-        self._warned_ragged = False
-        if mesh is not None:
-            from monodepth_tpu.parallel.mesh import shard_params
-
-            placed = shard_params(
-                {"params": self.params, "batch_stats": self.batch_stats}, mesh
-            )
-            self.params = placed["params"]
-            self.batch_stats = placed["batch_stats"]
-
-        self._train_step = make_train_step(self.model, self.tx, cfg)
+        self._train_step = make_train_step(
+            self.model, self.tx, cfg, state_shardings=self._state_shardings())
         self._eval_step = make_eval_step(self.model, cfg)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -263,6 +280,29 @@ class MarsDomainAdapter:
             self._ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
             if cfg.resume:
                 self._try_resume()
+
+    def _state_shardings(self):
+        """(param, opt_state) sharding pytrees for the train step's output
+        constraints; None without a mesh."""
+        if self.mesh is None:
+            return None
+        shard_of = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: getattr(x, "sharding", None), t)
+        return (shard_of(self.params), shard_of(self.opt_state))
+
+    def _place_on_mesh(self):
+        """Shard params/batch_stats per the mesh rules (TP + optional FSDP).
+        No-op without a mesh."""
+        if self.mesh is None:
+            return
+        from monodepth_tpu.parallel.mesh import shard_params
+
+        placed = shard_params(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            self.mesh, fsdp=getattr(self.cfg, "fsdp", False),
+        )
+        self.params = placed["params"]
+        self.batch_stats = placed["batch_stats"]
 
     # ------------------------------------------------------------- state
     def _state_dict(self, boundary: bool = True):
@@ -358,14 +398,29 @@ class MarsDomainAdapter:
         self.epoch = int(chosen["epoch"])
         self._rng = jnp.asarray(chosen["rng"])
         self._pending_data_state = pending
+        if self.mesh is not None:
+            # Orbax restores host-replicated arrays: re-place params on the
+            # mesh, then re-place the optimizer state leaf-by-leaf onto a
+            # freshly-initialized template (same tree; its leaves carry the
+            # correct TP/FSDP shardings because params are placed first).
+            self._place_on_mesh()
+            template = self.tx.init(self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda restored, like: jax.device_put(
+                    jnp.asarray(restored), like.sharding)
+                if hasattr(like, "sharding") else restored,
+                self.opt_state, template,
+            )
         print(f"Resumed from checkpoint at epoch {self.epoch}, step {self.step}"
               + (" (+ mid-epoch data state)" if pending is not None else ""))
 
     def save_model(self, step: Optional[int] = None, boundary: bool = True):
-        from monodepth_tpu.parallel.distributed import is_primary
-
-        # multi-host: only process 0 writes checkpoints (single-host: always)
-        if self._ckpt_mgr is None or not is_primary():
+        # Multi-host: EVERY process calls save — orbax's save is a
+        # collective; cross-process-sharded leaves (TP/FSDP) are written as
+        # one distributed array with each process contributing its shards
+        # (a process-0-only gate would fail on non-addressable leaves).
+        # Orbax itself restricts metadata writes to the primary process.
+        if self._ckpt_mgr is None:
             return
         fingerprint = (self.step, self.epoch, bool(boundary))
         if step is None and getattr(self, "_last_saved", None) == fingerprint:

@@ -34,8 +34,21 @@ class CheckpointManager:
     def save(self, step: int, state: Dict[str, Any]):
         """Save under a FRESH key — keys are write-once (orbax finalizes a
         tmp dir atomically, so a crash mid-save can never destroy an
-        existing checkpoint; delete-then-rewrite would)."""
-        state = jax.tree_util.tree_map(np.asarray, state)
+        existing checkpoint; delete-then-rewrite would).
+
+        Multi-host (TP/FSDP over processes): leaves sharded across
+        processes are NOT gatherable with np.asarray — they pass through
+        as jax.Array and orbax writes the distributed array collectively
+        (every process must call save; adapter.save_model handles the
+        gating).  Fully-addressable leaves save as plain np arrays so
+        restore templates never depend on the saving run's sharding."""
+
+        def to_savable(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return np.asarray(x)
+
+        state = jax.tree_util.tree_map(to_savable, state)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
@@ -56,7 +69,16 @@ class CheckpointManager:
         if step is None:
             return None
         if template is not None:
-            template = jax.tree_util.tree_map(np.asarray, template)
+            # shape/dtype-only conversion: a template leaf may be a LIVE
+            # multi-host-sharded array whose data is not process-local
+            # (np.asarray on it would raise); restore always yields full
+            # host np arrays, callers re-place them on their mesh
+            def to_template(x):
+                if hasattr(x, "shape") and hasattr(x, "dtype"):
+                    return np.zeros(x.shape, x.dtype)
+                return np.asarray(x)
+
+            template = jax.tree_util.tree_map(to_template, template)
             return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return self._mgr.restore(step)
 

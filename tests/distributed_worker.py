@@ -1,7 +1,16 @@
 """Subprocess worker for the REAL multi-process distributed test
 (tests/test_distributed.py::test_two_process_train_step_matches_single).
 
-Run as:  python tests/distributed_worker.py PID NPROC PORT OUT_JSON
+Run as:  python tests/distributed_worker.py PID NPROC PORT OUT_JSON [FSDP] [CKPT_DIR]
+
+FSDP=1 additionally shards the large ViT params + optimizer state over the
+cross-process 'data' axis (ZeRO-3; parallel/mesh.py) — the equality vs the
+single-process reference then also validates the multi-host FSDP schedule.
+
+CKPT_DIR (shared filesystem path): every process collectively saves the
+post-step params through CheckpointManager — cross-process-sharded leaves
+write as ONE distributed array — restores them, and reports the restored
+digest (must equal the in-memory digest).
 
 Each process gets 4 virtual CPU devices; with NPROC=2 the two processes
 form one 8-device runtime via a localhost coordinator — exercising
@@ -35,6 +44,8 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     pid, nproc, port, out_path = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    fsdp = len(sys.argv) > 5 and sys.argv[5] == "1"
+    ckpt_dir = sys.argv[6] if len(sys.argv) > 6 else ""
 
     from monodepth_tpu.parallel import distributed
 
@@ -78,11 +89,17 @@ def main():
     params = dict(variables["params"])
     stats = dict(variables["batch_stats"])
     tx = make_optimizer(params, cfg, steps_per_epoch=1)
-    step = make_train_step(model, tx, cfg)
     with mesh:
-        placed = shard_params({"params": params, "batch_stats": stats}, mesh)
+        placed = shard_params({"params": params, "batch_stats": stats}, mesh,
+                              fsdp=fsdp)
         params, stats = placed["params"], placed["batch_stats"]
         opt_state = tx.init(params)
+        shardings = None
+        if fsdp:
+            shard_of = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda v: getattr(v, "sharding", None), t)
+            shardings = (shard_of(params), shard_of(opt_state))
+        step = make_train_step(model, tx, cfg, state_shardings=shardings)
         new_params, new_stats, _, losses = step(
             params, stats, opt_state, x, s, jax.random.PRNGKey(2))
 
@@ -95,15 +112,36 @@ def main():
 
         digested = digest_tree({"params": new_params, "stats": new_stats})
 
-    digest = {
-        jax.tree_util.keystr(k): float(v)
-        for k, v in jax.tree_util.tree_leaves_with_path(digested)
-    }
+    def flat(d):
+        return {jax.tree_util.keystr(k): float(v)
+                for k, v in jax.tree_util.tree_leaves_with_path(d)}
+
+    digest = flat(digested)
+
+    ckpt_digest = None
+    if ckpt_dir:
+        # Collective multi-host checkpoint: all processes call save; the
+        # cross-process-sharded (TP/FSDP) leaves are written as distributed
+        # arrays (train/checkpoints.py), then restored as full np arrays on
+        # every host.
+        from monodepth_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        mgr.save(1, {"params": new_params})
+        # template restore -> full np arrays on every host (templates built
+        # from the live sharded tree are shape/dtype-only, checkpoints.py)
+        restored = mgr.restore(1, template={"params": new_params})
+        mgr.close()
+        ckpt_digest = flat(jax.tree_util.tree_map(
+            lambda v: float(np.sum(np.abs(np.asarray(v, dtype=np.float32)))),
+            restored["params"]))
+
     out = {
         "pid": pid,
         "n_devices": jax.device_count(),
         "losses": {k: float(v) for k, v in losses.items()},
         "digest": digest,
+        "ckpt_digest": ckpt_digest,
     }
     with open(out_path, "w") as f:
         json.dump(out, f)

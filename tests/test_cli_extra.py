@@ -131,6 +131,28 @@ def test_mars_finetune_cli_mesh(image_dir, tmp_path):
     assert vals and all(np.isfinite(v) for v in vals)
 
 
+def test_mars_finetune_cli_fsdp(image_dir, tmp_path):
+    """--fsdp shards params + optimizer state over the data axis through
+    the CLI path (full coverage in tests/test_fsdp.py); without --mesh it
+    refuses loudly."""
+    from monodepth_tpu.cli.mars_finetune import main
+
+    args = [
+        "--data_dir", str(tmp_path / "data"),
+        "--seed_dir", str(image_dir),
+        "--num_epochs", "1",
+        "--batch_size", "4",
+        "--height", "32", "--width", "48",
+        "--save_dir", str(tmp_path / "ckpt"),
+        "--num_variants", "4",
+        "--fsdp",
+    ]
+    with pytest.raises(SystemExit):
+        main(args)
+    rc = main(args + ["--mesh", "data=4,model=2"])
+    assert rc == 0
+
+
 def test_assert_tree_finite():
     from monodepth_tpu.utils.debugging import assert_tree_finite
 

@@ -135,13 +135,16 @@ def test_multiprocess_loader_epochs_differ(corpus):
 
 # ------------------------------------ REAL two-process distributed runtime
 @pytest.mark.slow
-def test_two_process_train_step_matches_single(tmp_path):
+@pytest.mark.parametrize("fsdp", ["0", "1"], ids=["tp_dp", "tp_dp_fsdp"])
+def test_two_process_train_step_matches_single(tmp_path, fsdp):
     """VERDICT r2 item 4: two OS processes, localhost coordinator, 4 virtual
     CPU devices each -> one 8-device runtime.  `distributed.initialize` and
     `host_local_batch_to_global` run UN-mocked; one TP+DP train step over the
-    cross-process mesh must equal the single-process result.
+    cross-process mesh must equal the single-process result.  The fsdp leg
+    additionally shards params + optimizer state over the cross-process
+    'data' axis (ZeRO-3 schedule under real multi-host collectives).
 
-    ~4-6 min on a 1-core host (3 fresh jit compiles of the train step).
+    ~4-6 min per leg on a 1-core host (3 fresh jit compiles of the step).
     """
     import json
     import socket
@@ -154,10 +157,16 @@ def test_two_process_train_step_matches_single(tmp_path):
         sock.bind(("localhost", 0))
         port = sock.getsockname()[1]
 
+    # the fsdp leg also exercises the collective multi-host checkpoint save
+    ckpt_dir = str(tmp_path / "shared_ckpt") if fsdp == "1" else ""
+
     def run(pid, nproc, out):
+        argv = [sys.executable, worker, str(pid), str(nproc), str(port), out,
+                fsdp]
+        if ckpt_dir and nproc > 1:
+            argv.append(ckpt_dir)
         return subprocess.Popen(
-            [sys.executable, worker, str(pid), str(nproc), str(port), out],
-            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            argv, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
     outs = [str(tmp_path / f"p{i}.json") for i in range(2)]
     procs = [run(i, 2, outs[i]) for i in range(2)]
@@ -188,6 +197,15 @@ def test_two_process_train_step_matches_single(tmp_path):
     assert r0["losses"] == pytest.approx(rs["losses"], rel=1e-4)
     for key, want in rs["digest"].items():
         assert r0["digest"][key] == pytest.approx(want, rel=1e-3, abs=1e-2), key
+    if ckpt_dir:
+        # the collectively-saved + restored params match the in-memory state
+        # on both processes (rel floor: the in-memory digest reduces in
+        # device f32, the restored one in numpy — different sum orders)
+        for r in (r0, r1):
+            assert r["ckpt_digest"], "fsdp leg must write a checkpoint"
+            for key, got in r["ckpt_digest"].items():
+                assert got == pytest.approx(
+                    r["digest"]["['params']" + key], rel=1e-5), key
 
 
 # --------------------------------------- sharded train-step equivalence

@@ -49,21 +49,27 @@ def main():
     taps = {2, 5, 8, 11}
     rng = np.random.default_rng(0)
 
-    model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
-                          native_patching=True, attn_impl="pallas",
-                          attn_window=window, seq_pad_multiple=1)
     xs = [jax.device_put(jnp.asarray(
         rng.random((batch, 1024, 1024, 3), dtype=np.float32)))
         for _ in range(3)]
-    variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
 
-    @jax.jit
-    def fwd(v, x):
-        return model.apply(v, x)[("disp", 0)][:, ::256, ::256, 0]
+    # --int8 / --enhanced run ONLY their own sections (the full default
+    # sweep costs ~15 min of chip compiles).
+    sections_only = {"--int8", "--enhanced"} & set(sys.argv)
 
-    dt = timeit(fwd, variables, xs)
-    print(f"full native b{batch} w{window}: {dt*1e3:.1f} ms = "
-          f"{batch/dt:.1f} img/s", flush=True)
+    if not sections_only:
+        model = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
+                              native_patching=True, attn_impl="pallas",
+                              attn_window=window, seq_pad_multiple=1)
+        variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
+
+        @jax.jit
+        def fwd(v, x):
+            return model.apply(v, x)[("disp", 0)][:, ::256, ::256, 0]
+
+        dt = timeit(fwd, variables, xs)
+        print(f"full native b{batch} w{window}: {dt*1e3:.1f} ms = "
+              f"{batch/dt:.1f} img/s", flush=True)
 
     tokens_list = [jax.device_put(jnp.asarray(
         rng.standard_normal((batch, seq, dim)).astype(np.float32)
@@ -98,30 +104,48 @@ def main():
                                      name=f"block_{i}")(x)
             return x
 
-    for mode in ("mixed", "windowed", "noattn"):
-        tower = Tower(mode=mode)
-        tvars = tower.init(jax.random.PRNGKey(1), tokens_list[0][:1])
+    if not sections_only:
+        for mode in ("mixed", "windowed", "noattn"):
+            tower = Tower(mode=mode)
+            tvars = tower.init(jax.random.PRNGKey(1), tokens_list[0][:1])
 
-        @jax.jit
-        def f(v, xx):
-            return tower.apply(v, xx)[:, :1, :8]
+            @jax.jit
+            def f(v, xx):
+                return tower.apply(v, xx)[:, :1, :8]
 
-        dt = timeit(f, tvars, tokens_list)
-        print(f"tower {mode:9s}: {dt*1e3:.1f} ms", flush=True)
+            dt = timeit(f, tvars, tokens_list)
+            print(f"tower {mode:9s}: {dt*1e3:.1f} ms", flush=True)
 
-    # within-run A/B: Mosaic dimension_semantics hints on vs off (the env
-    # var is read at TRACE time, so two fresh jit builds differ)
-    for label, env in (("dimsem on ", None), ("dimsem off", "1")):
-        if env is None:
-            os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
-        else:
-            os.environ["MONODEPTH_TPU_NO_DIMSEM"] = env
-        tower = Tower(mode="mixed")
-        tvars = tower.init(jax.random.PRNGKey(1), tokens_list[0][:1])
-        f = jax.jit(lambda v, xx, _t=tower: _t.apply(v, xx)[:, :1, :8])
-        dt = timeit(f, tvars, tokens_list)
-        print(f"tower mixed {label}: {dt*1e3:.1f} ms", flush=True)
-    os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
+        # within-run A/B: Mosaic dimension_semantics hints on vs off (the env
+        # var is read at TRACE time, so two fresh jit builds differ)
+        for label, env in (("dimsem on ", None), ("dimsem off", "1")):
+            if env is None:
+                os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
+            else:
+                os.environ["MONODEPTH_TPU_NO_DIMSEM"] = env
+            tower = Tower(mode="mixed")
+            tvars = tower.init(jax.random.PRNGKey(1), tokens_list[0][:1])
+            f = jax.jit(lambda v, xx, _t=tower: _t.apply(v, xx)[:, :1, :8])
+            dt = timeit(f, tvars, tokens_list)
+            print(f"tower mixed {label}: {dt*1e3:.1f} ms", flush=True)
+        os.environ.pop("MONODEPTH_TPU_NO_DIMSEM", None)
+
+    if "--int8" in sys.argv:
+        # Within-run A/B: does the int8 MXU path pay off on the NATIVE tower?
+        # (Parity tower: +12% through XLA, PERF_STUDY §5.  The native tower
+        # is dense-floor-dominated — 37 of 113 ms — but K=768 still bounds
+        # the quantize/dequant amortization.)
+        for label, qmode in (("bf16", ""), ("int8", "int8")):
+            qmodel = DepthAnything(dtype=jnp.bfloat16, output_scales=(0,),
+                                   native_patching=True, attn_impl="pallas",
+                                   attn_window=window, seq_pad_multiple=1,
+                                   quantize=qmode)
+            qvars = qmodel.init(jax.random.PRNGKey(0), xs[0][:1])
+            f = jax.jit(lambda v, x, _m=qmodel: _m.apply(v, x)[
+                ("disp", 0)][:, ::256, ::256, 0])
+            dt = timeit(f, qvars, xs)
+            print(f"full native b{batch} w{window} {label}: {dt*1e3:.1f} ms"
+                  f" = {batch/dt:.1f} img/s", flush=True)
 
     if "--enhanced" in sys.argv:
         # Enhanced-native budget (VERDICT r2 item 6): full enhanced forward,

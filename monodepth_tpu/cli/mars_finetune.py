@@ -70,11 +70,14 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--loss_mode", type=str, default="reference",
-                   choices=["reference", "flip", "photometric"],
+                   choices=["reference", "flip", "photometric", "sequence"],
                    help="'reference' = the reference's jittered-L1 placeholder; "
                         "'flip' = left-right flip-consistency self-supervision; "
                         "'photometric' = SSIM+L1 reprojection over synthetic "
-                        "pose pairs (backproject/project/sample)")
+                        "pose pairs (backproject/project/sample); "
+                        "'sequence' = the full monodepth2 objective on real "
+                        "consecutive-frame pairs with a jointly trained "
+                        "PoseNet and automasking (models/pose.py)")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
@@ -186,8 +189,11 @@ def visualize_validation(adapter, args, num_batches: int = 5):
         if i >= num_batches:
             break
         images, scales = adapter._prep_batch(batch)
+        if images.shape[-1] == 6:  # sequence pairs: visualize the target
+            images = images[..., :3]
+        params = {k: v for k, v in adapter.params.items() if k != "pose"}
         outputs = adapter.model.apply(
-            {"params": adapter.params, "batch_stats": adapter.batch_stats},
+            {"params": params, "batch_stats": adapter.batch_stats},
             images, scales,
         )
         disp = np.asarray(outputs[("disp", 0)][0, ..., 0])

@@ -103,7 +103,11 @@ class TrainConfig:
     # 'photometric' is the SSIM+L1 reprojection objective over
     # backproject/project/bilinear_sample with synthetic pose pairs
     # (train/losses.py:compute_losses_photometric) — the self-supervision
-    # the reference's layers.py:139-248 machinery implies but never wires.
+    # the reference's layers.py:139-248 machinery implies but never wires;
+    # 'sequence' is the full monodepth2 objective on REAL consecutive-frame
+    # pairs: a jointly trained PoseNet (models/pose.py) predicts the camera
+    # motion, the reprojection warp uses it, and automasking suppresses
+    # static/moving pixels (train/losses.py:compute_losses_sequence).
     loss_mode: str = "reference"
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5

@@ -27,6 +27,7 @@ from PIL import Image
 
 __all__ = [
     "MarsImageDataset",
+    "MarsSequenceDataset",
     "NumpyLoader",
     "get_mars_dataloaders",
     "organize_dataset",
@@ -125,22 +126,38 @@ class MarsImageDataset:
             arr = native.resize_bilinear_u8(arr, self.height, self.width)
         return arr.astype(np.float32) / 255.0
 
+    def _sample_aug(self, r) -> Dict:
+        """Draw one set of jitter parameters (so a frame PAIR can share the
+        exact same augmentation — photometric losses compare frames and a
+        per-frame jitter would register as fake appearance change)."""
+        return {
+            "brightness": 1 + (r.random() - 0.5) * 0.4,
+            "contrast": 1 + (r.random() - 0.5) * 0.4,
+            "saturation": 1 + (r.random() - 0.5) * 0.4,
+            "hue": (r.random() - 0.5) * 0.2,
+            "flip": r.random() < 0.5,
+        }
+
+    @staticmethod
+    def _apply_aug(img: np.ndarray, aug: Dict) -> np.ndarray:
+        img = img * aug["brightness"]
+        mean = img.mean()
+        img = (img - mean) * aug["contrast"] + mean
+        gray = img.mean(axis=-1, keepdims=True)
+        img = gray + (img - gray) * aug["saturation"]
+        img = np.clip(img, 0.0, 1.0)
+        img = hue_shift(img, aug["hue"])
+        if aug["flip"]:
+            img = img[:, ::-1, :]
+        return np.ascontiguousarray(img)
+
     def _augment(self, img: np.ndarray, rng=None) -> np.ndarray:
         """Color jitter (brightness/contrast/saturation ±0.2, hue ±0.1) +
         horizontal flip (reference mars_dataset.py:83-86).  The C++
         `md_mars_augment_f32` is the *synthetic-data* Mars-tint variant
         (mars_finetune.py:117-138 semantics), not this training jitter."""
         r = rng if rng is not None else self._rng
-        img = img * (1 + (r.random() - 0.5) * 0.4)                      # brightness
-        mean = img.mean()
-        img = (img - mean) * (1 + (r.random() - 0.5) * 0.4) + mean      # contrast
-        gray = img.mean(axis=-1, keepdims=True)
-        img = gray + (img - gray) * (1 + (r.random() - 0.5) * 0.4)      # saturation
-        img = np.clip(img, 0.0, 1.0)
-        img = hue_shift(img, (r.random() - 0.5) * 0.2)                  # hue ±0.1
-        if r.random() < 0.5:
-            img = img[:, ::-1, :]
-        return np.ascontiguousarray(img)
+        return self._apply_aug(img, self._sample_aug(r))
 
     def get(self, index: int, rng=None) -> Dict:
         """Load one item; `rng` (optional np.random.Generator) makes the
@@ -174,6 +191,75 @@ class MarsImageDataset:
 
     def __getitem__(self, index: int) -> Dict:
         return self.get(index)
+
+
+class MarsSequenceDataset(MarsImageDataset):
+    """Consecutive-frame pairs for sequence self-supervision
+    (TrainConfig.loss_mode='sequence').
+
+    Pairing rule: within each `{data_path}/{source}/{split}` directory,
+    sorted filename order is treated as temporal order (the convention of
+    rover/ingenuity frame dumps) and frames `i` and `i + stride` form one
+    (target, source) pair.  Items are {'image': [H, W, 6] float32 — target
+    and source stacked on channels, the monodepth2 pose-net input layout —
+    'metadata': the TARGET frame's metadata}.
+
+    Both frames receive the IDENTICAL augmentation draw (same jitter, same
+    flip): the photometric loss compares the two frames, so independent
+    jitter would present appearance change as parallax.
+    """
+
+    def __init__(self, *args, stride: int = 1, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert stride >= 1
+        frames = self.samples
+        self.samples = []
+        for i in range(len(frames) - stride):
+            a, b = frames[i], frames[i + stride]
+            if os.path.dirname(a["path"]) != os.path.dirname(b["path"]):
+                continue  # never pair across source/split directories
+            item = dict(a)
+            item["source_path"] = b["path"]
+            self.samples.append(item)
+
+    def _load_path(self, path: str) -> np.ndarray:
+        img = Image.open(path).convert("RGB")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.shape[:2] != (self.height, self.width):
+            from monodepth_tpu import native
+
+            arr = native.resize_bilinear_u8(arr, self.height, self.width)
+        return arr.astype(np.float32) / 255.0
+
+    def get(self, index: int, rng=None) -> Dict:
+        r = rng if rng is not None else self._rng
+        for _ in range(10):
+            meta = self.samples[index]
+            try:
+                target = self._load_path(meta["path"])
+                source = self._load_path(meta["source_path"])
+                break
+            except Exception:
+                index = int(r.integers(len(self.samples)))
+        else:
+            raise RuntimeError("too many corrupt images in dataset")
+
+        if self.is_train:
+            aug = self._sample_aug(r)
+            target = self._apply_aug(target, aug)
+            source = self._apply_aug(source, aug)
+        if self.normalize:
+            target = (target - IMAGENET_MEAN) / IMAGENET_STD
+            source = (source - IMAGENET_MEAN) / IMAGENET_STD
+
+        return {
+            "image": np.concatenate([target, source], axis=-1).astype(np.float32),
+            "metadata": {
+                "source": meta["source"],
+                "path": meta["path"],
+                "altitude": meta["altitude"],
+            },
+        }
 
 
 # Worker-process state for the multiprocess decode pool (fork start method:
@@ -438,7 +524,7 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
                          source_type: Optional[str] = None,
                          num_workers: int = 0,
                          shard_index: int = 0, shard_count: int = 1,
-                         backend: str = "numpy"):
+                         backend: str = "numpy", sequence: bool = False):
     """Train/val/test loaders (reference mars_dataset.py:201-236).
 
     `source_type` accepts the reference adapter's convention
@@ -447,12 +533,15 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
     `shard_count` select this host's rows for multi-host DP (batch_size is
     the global batch).  `backend`: 'numpy' (NumpyLoader fork pool) or
     'grain' (Google Grain pipeline, data/grain_pipeline.py).
+    `sequence=True` yields consecutive-frame pairs ([H, W, 6] items,
+    MarsSequenceDataset) for loss_mode='sequence'.
     """
     if source_type is not None and source_type != "mixed":
         sources = (source_type,)
+    ds_cls = MarsSequenceDataset if sequence else MarsImageDataset
     loaders = {}
     for split in ("train", "val", "test"):
-        ds = MarsImageDataset(data_path, split, height, width, sources, seed=seed)
+        ds = ds_cls(data_path, split, height, width, sources, seed=seed)
         common = dict(
             shuffle=(split == "train"),
             drop_last=(split == "train"),

@@ -9,6 +9,7 @@ from monodepth_tpu.models.encoder import DepthAnythingEncoder  # noqa: F401
 from monodepth_tpu.models.decoder import DepthAnythingDecoder  # noqa: F401
 from monodepth_tpu.models.model import DepthAnything, disp_scale_factor  # noqa: F401
 from monodepth_tpu.models.enhanced import EnhancedDepthAnything  # noqa: F401
+from monodepth_tpu.models.pose import PoseNet  # noqa: F401
 
 
 def build_model(cfg, *, output_scales=None):

@@ -91,20 +91,45 @@ def _constrain_tree(tree, shardings):
         tree, shardings)
 
 
-def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None):
+def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
+                    pose_net=None):
     """Build the jitted train step: (params, batch_stats, opt_state, images,
     scales, rng) -> (new trees, losses).
 
     state_shardings: optional (param_shardings, opt_state_shardings) pytrees
     (leaf = each input's `.sharding`).  Without the constraint GSPMD is free
     to emit replicated updated params/moments, silently un-doing FSDP after
-    the first step; with it the outputs keep the input placement."""
+    the first step; with it the outputs keep the input placement.
+
+    pose_net: required for loss_mode='sequence' — its params live under
+    params['pose'] and train jointly with the depth model (monodepth2)."""
 
     loss_mode = getattr(cfg, "loss_mode", "reference")
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, scales, rng):
         def loss_fn(p):
+            if loss_mode == "sequence":
+                # joint depth + pose over real frame pairs (train/losses.py)
+                from monodepth_tpu.train.losses import compute_losses_sequence
+
+                target, source = images[..., :3], images[..., 3:]
+                model_p = {k: v for k, v in p.items() if k != "pose"}
+                outputs, mutated = model.apply(
+                    {"params": model_p, "batch_stats": batch_stats},
+                    target, scales, train=True, mutable=["batch_stats"],
+                )
+                axisangle, translation = pose_net.apply(
+                    {"params": p["pose"]}, images)
+                losses = compute_losses_sequence(
+                    target, source, outputs[("disp", 0)],
+                    axisangle, translation, rng,
+                    depth_weight=cfg.depth_weight,
+                    smoothness_weight=cfg.smoothness_weight,
+                    min_depth=cfg.model.min_depth,
+                    max_depth=cfg.model.max_depth,
+                )
+                return losses["total"], (mutated["batch_stats"], losses)
             if loss_mode == "photometric":
                 # SSIM+L1 reprojection objective (train/losses.py)
                 from monodepth_tpu.train.losses import compute_losses_photometric
@@ -167,6 +192,9 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None):
 def make_eval_step(model, cfg: TrainConfig):
     @jax.jit
     def eval_step(params, batch_stats, images, scales, rng):
+        if images.shape[-1] == 6:  # sequence pairs: validate on the target
+            images = images[..., :3]
+        params = {k: v for k, v in params.items() if k != "pose"}
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, scales
         )
@@ -214,6 +242,7 @@ class MarsDomainAdapter:
                 num_workers=cfg.num_workers,
                 shard_index=process_index(), shard_count=process_count(),
                 backend=cfg.loader_backend,
+                sequence=(cfg.loss_mode == "sequence"),
             )
             train_loader = train_loader or tr
             val_loader = val_loader or va
@@ -254,6 +283,22 @@ class MarsDomainAdapter:
                           f"vit_variant={cfg.model.vit_variant!r}; "
                           f"keeping random init")
 
+        self.pose_net = None
+        if cfg.loss_mode == "sequence":
+            # Joint depth+pose training (monodepth2): the PoseNet's params
+            # live under params['pose'] so the optimizer, checkpoints, mesh
+            # placement and FSDP all see one tree.  The pose net is a
+            # training-time device only — inference/export never load it
+            # (which is also why this runs AFTER checkpoint loading: a
+            # depth-only .pth/orbax checkpoint must not erase it).
+            from monodepth_tpu.models.pose import PoseNet
+
+            self.pose_net = PoseNet()
+            pose_vars = self.pose_net.init(
+                jax.random.PRNGKey(cfg.seed + 2),
+                jnp.zeros((1, cfg.height, cfg.width, 6), jnp.float32))
+            self.params["pose"] = dict(pose_vars["params"])
+
         self.mesh = mesh
         self._warned_ragged = False
         self._place_on_mesh()
@@ -269,7 +314,8 @@ class MarsDomainAdapter:
         self.epoch = 0
 
         self._train_step = make_train_step(
-            self.model, self.tx, cfg, state_shardings=self._state_shardings())
+            self.model, self.tx, cfg, state_shardings=self._state_shardings(),
+            pose_net=self.pose_net)
         self._eval_step = make_eval_step(self.model, cfg)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
 

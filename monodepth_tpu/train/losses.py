@@ -26,7 +26,7 @@ from monodepth_tpu.layers import (
 )
 
 __all__ = ["compute_losses", "compute_losses_flip", "compute_losses_photometric",
-           "photometric_error", "synthetic_pair"]
+           "compute_losses_sequence", "photometric_error", "synthetic_pair"]
 
 
 def compute_losses(
@@ -144,6 +144,76 @@ def compute_losses_photometric(
     losses = {
         "smoothness": smoothness_weight * get_smooth_loss(disp, images),
         "depth": depth_weight * photo,
+    }
+    losses["total"] = losses["depth"] + losses["smoothness"]
+    return losses
+
+
+def compute_losses_sequence(
+    target: jnp.ndarray,
+    source: jnp.ndarray,
+    disp: jnp.ndarray,
+    axisangle: jnp.ndarray,
+    translation: jnp.ndarray,
+    rng: jax.Array,
+    depth_weight: float = 1.0,
+    smoothness_weight: float = 0.001,
+    min_depth: float = 0.1,
+    max_depth: float = 100.0,
+    auto_mask: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """The real monodepth2 objective over REAL frame pairs
+    (TrainConfig.loss_mode='sequence'): predicted depth + predicted pose
+    (models/pose.PoseNet) -> reprojection warp -> SSIM+L1 photometric
+    error, with monodepth2 automasking and mean-normalized edge-aware
+    smoothness.
+
+    This is what the reference's layers.py:28-193 machinery (axisangle ->
+    SE(3), BackprojectDepth, Project3D) exists for but is never wired to
+    (SURVEY.md §2.4: the pose utilities are dead code upstream).
+
+    Args:
+      target: [B, H, W, 3] frame whose depth is being learned.
+      source: [B, H, W, 3] temporally adjacent frame.
+      disp:   [B, H, W, 1] predicted sigmoid disparity for `target`.
+      axisangle, translation: [B, 1, 3] PoseNet outputs — the target->source
+        camera motion.
+      auto_mask: monodepth2 automasking — per pixel, take
+        min(reprojection error, identity error): pixels that the raw source
+        frame already explains (static camera, moving objects, sky) carry
+        no reprojection gradient instead of dragging depth toward infinity.
+
+    Returns {'total', 'depth', 'smoothness', 'automask_frac'} — the last is
+    the fraction of pixels where the warp beats identity (a training-health
+    diagnostic: near 0 means the pose/depth warp explains nothing yet).
+    """
+    b, h, w, _ = target.shape
+    T = transformation_from_parameters(axisangle, translation)
+
+    _, depth = disp_to_depth(disp, min_depth, max_depth)
+    K, inv_K = default_intrinsics(b, h, w, target.dtype)
+    pix = project_3d(backproject_depth(depth[..., 0], inv_K), K, T, h, w)
+    warped = bilinear_sample(source, pix)
+
+    reproj = photometric_error(warped, target)           # [B, H, W, 1]
+    if auto_mask:
+        # identity reprojection error + tiny noise tie-break (monodepth2:
+        # without it, static pixels with exactly equal errors flip-flop)
+        ident = photometric_error(source, target)
+        ident = ident + 1e-5 * jax.random.normal(rng, ident.shape, ident.dtype)
+        photo = jnp.mean(jnp.minimum(reproj, ident))
+        automask_frac = jnp.mean((reproj < ident).astype(jnp.float32))
+    else:
+        photo = jnp.mean(reproj)
+        automask_frac = jnp.ones((), jnp.float32)
+
+    # monodepth2 smoothness: disparity is mean-normalized first, so the
+    # regularizer is scale-invariant and cannot be gamed by shrinking disp.
+    norm_disp = disp / (jnp.mean(disp, axis=(1, 2, 3), keepdims=True) + 1e-7)
+    losses = {
+        "smoothness": smoothness_weight * get_smooth_loss(norm_disp, target),
+        "depth": depth_weight * photo,
+        "automask_frac": automask_frac,
     }
     losses["total"] = losses["depth"] + losses["smoothness"]
     return losses

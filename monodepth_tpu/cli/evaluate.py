@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="./eval_results")
     p.add_argument("--min_depth", type=float, default=0.1)
     p.add_argument("--max_depth", type=float, default=100.0)
+    p.add_argument("--real_cda", action="store_true",
+                   help="Score CDA with the real LoG crater detector + "
+                        "detection F1 instead of the reference's always-0.0 "
+                        "stub (utils/evaluation.py:detect_craters)")
     return p.parse_args(argv)
 
 
@@ -49,7 +53,8 @@ def main(argv=None):
         print(f"No *_depth.npy predictions under {args.pred_dir}")
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
-    evaluator = MarsTerrainEvaluator(args.min_depth, args.max_depth)
+    evaluator = MarsTerrainEvaluator(args.min_depth, args.max_depth,
+                                     real_cda=args.real_cda)
 
     if args.gt_dir:
         pairs = []

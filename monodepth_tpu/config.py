@@ -54,6 +54,13 @@ class ModelConfig:
     # Serving-only; checkpoints are unchanged (quantization happens inside
     # jit from the f32 params).  Accuracy bounds: tests/test_quant.py.
     quantize: str = ""
+    # Flip test-time augmentation (monodepth/monodepth2 eval practice):
+    # run the forward on the image AND its horizontal mirror, un-mirror,
+    # and blend with the Godard post-processing ramp (left/right 5% edges
+    # take the prediction whose context is intact, middle averages).
+    # 2x forward cost; inference-engine concern only — training, export
+    # and the raw model are unaffected.
+    tta: bool = False
     # Enhanced model only: serve just disp/uncertainty/depth at scale 0,
     # skipping eight unused full-resolution output resizes.  False keeps the
     # reference's full 11-key output contract.

@@ -31,7 +31,30 @@ from monodepth_tpu.config import ModelConfig
 from monodepth_tpu.models import disp_scale_factor
 from monodepth_tpu.models import weights as weights_lib
 
-__all__ = ["MarsDepthEstimator", "detect_source", "load_image", "preprocess_image"]
+__all__ = ["MarsDepthEstimator", "detect_source", "load_image",
+           "preprocess_image", "tta_blend"]
+
+
+def tta_blend(disp: jnp.ndarray, disp_flipped: jnp.ndarray) -> jnp.ndarray:
+    """Godard post-processing blend for flip test-time augmentation
+    (monodepth's `post_process_disparity`, standard monodepth2 eval).
+
+    Args:
+      disp:         [B, H, W, 1] disparity of the original image.
+      disp_flipped: [B, H, W, 1] disparity of the mirrored image, already
+                    mirrored BACK into the original frame.
+
+    Each 5% image edge takes the prediction whose receptive-field context
+    is intact there (the mirror sees the left edge as a right edge and
+    vice versa); the middle averages the two.
+    """
+    w = disp.shape[2]
+    x = jnp.linspace(0.0, 1.0, w, dtype=disp.dtype)
+    l_mask = jnp.clip(1.0 - 20.0 * (x - 0.05), 0.0, 1.0)[None, None, :, None]
+    r_mask = l_mask[:, :, ::-1, :]
+    mean = 0.5 * (disp + disp_flipped)
+    return (r_mask * disp + l_mask * disp_flipped
+            + (1.0 - l_mask - r_mask) * mean)
 
 
 def detect_source(image_path: str, source: str = "auto") -> str:

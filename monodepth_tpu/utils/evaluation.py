@@ -5,8 +5,10 @@
   (reference evaluation.py:69-78; formulas shared with layers.py:251-269)
 - Mars-specific metrics: TRP terrain-roughness preservation via block-reduced
   local std (:82-86, 111-137), SFDR small-feature detection rate via Sobel
-  edge overlap at the 90th percentile (:89-93, 139-152), CDA crater-detection
-  stub = 0.0 (:96-100)
+  edge overlap at the 90th percentile (:89-93, 139-152), CDA crater detection
+  — the reference's stub (= 0.0, :96-100) by default for score parity, or a
+  real multi-scale LoG crater detector + detection F1 with `real_cda=True`
+  (`detect_craters`)
 - 3-D reconstruction metrics over point clouds: Chamfer (:190), Hausdorff
   (:219), normal consistency (:250), volumetric similarity (:286) — scipy
   cKDTree instead of Open3D loops
@@ -25,7 +27,70 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["MarsTerrainEvaluator"]
+__all__ = ["MarsTerrainEvaluator", "detect_craters"]
+
+
+def detect_craters(depth: np.ndarray, min_sigma: float = 2.0,
+                   max_sigma: float = 16.0, num_scales: int = 6,
+                   threshold: float = 0.05) -> np.ndarray:
+    """Detect crater-like depressions in a depth map.
+
+    Multi-scale Laplacian-of-Gaussian blob detection (the standard
+    scale-space detector): craters read as locally-deeper bowls, i.e.
+    bright blobs in the normalized depth map, which are maxima of the
+    negated, scale-normalized LoG response.  Pure numpy/scipy.
+
+    Args:
+      depth: [H, W] depth map (any monotonic depth-like quantity works —
+        the map is range-normalized first).
+      min_sigma, max_sigma, num_scales: geometric sigma ladder; a blob of
+        radius r peaks at sigma = r / sqrt(2).
+      threshold: minimum normalized response for a detection.
+
+    Returns:
+      [N, 3] float array of (row, col, radius), strongest response first.
+    """
+    import scipy.ndimage as ndi
+
+    d = np.squeeze(np.asarray(depth, dtype=np.float64))
+    assert d.ndim == 2, f"expected a single [H, W] depth map, got {d.shape}"
+    finite = np.isfinite(d)
+    if not finite.any():
+        return np.zeros((0, 3))
+    if not finite.all():
+        d = np.where(finite, d, np.median(d[finite]))
+    rng = d.max() - d.min()
+    if rng < 1e-12:
+        return np.zeros((0, 3))
+    dn = (d - d.min()) / rng
+
+    sigmas = np.geomspace(min_sigma, max_sigma, num_scales)
+    # scale-normalized LoG: sigma^2 * Laplacian(G_sigma * I); negated so
+    # bright (deep) bowls give positive peaks
+    stack = np.stack([-(s**2) * ndi.gaussian_laplace(dn, s) for s in sigmas])
+
+    # local maxima across (scale, y, x)
+    peaks = (stack == ndi.maximum_filter(stack, size=(3, 3, 3))) & (
+        stack > threshold)
+    si, yi, xi = np.nonzero(peaks)
+    if si.size == 0:
+        return np.zeros((0, 3))
+    resp = stack[si, yi, xi]
+    order = np.argsort(-resp)
+    si, yi, xi = si[order], yi[order], xi[order]
+    radii = np.sqrt(2.0) * sigmas[si]
+
+    # greedy non-max suppression: drop a weaker blob whose center lies
+    # inside a stronger one's radius
+    keep = []
+    for i in range(len(si)):
+        y, x, r = yi[i], xi[i], radii[i]
+        if all((y - yi[j]) ** 2 + (x - xi[j]) ** 2 > max(radii[j], r) ** 2
+               for j in keep):
+            keep.append(i)
+    return np.stack([yi[keep].astype(np.float64),
+                     xi[keep].astype(np.float64),
+                     radii[keep]], axis=1)
 
 
 def _sobel_edges(arr: np.ndarray) -> np.ndarray:
@@ -49,9 +114,14 @@ def _block_reduce_std(arr: np.ndarray, block: int = 8) -> np.ndarray:
 class MarsTerrainEvaluator:
     """Evaluation metrics for Mars depth estimation and 3-D reconstruction."""
 
-    def __init__(self, min_depth: float = 0.1, max_depth: float = 100.0):
+    def __init__(self, min_depth: float = 0.1, max_depth: float = 100.0,
+                 real_cda: bool = False):
         self.min_depth = min_depth
         self.max_depth = max_depth
+        # real_cda=False keeps the reference's CDA stub (always 0.0,
+        # evaluation.py:96-100) for score parity; True enables the real
+        # LoG crater detector + F1 matching (beyond-reference capability).
+        self.real_cda = real_cda
 
     # ----------------------------------------------------------- depth
     def evaluate_depth_prediction(
@@ -114,9 +184,42 @@ class MarsTerrainEvaluator:
         return float((tg & tp).sum() / tg.sum())
 
     def crater_detection_accuracy(self, pred, gt) -> float:
-        """CDA stub — the reference returns 0.0 pending a crater detector
-        (evaluation.py:96-100)."""
-        return 0.0
+        """CDA.  Default (real_cda=False): the reference's stub — always 0.0
+        (evaluation.py:96-100), kept for score parity.
+
+        With real_cda=True: detect craters in both maps (`detect_craters`,
+        multi-scale LoG) and return the detection F1 — a GT crater counts
+        as found when a predicted crater's center lies within the larger of
+        the two radii and the radii agree within 2x.  Both maps empty of
+        craters scores 1.0 (nothing to find, nothing hallucinated).
+        """
+        if not self.real_cda:
+            return 0.0
+        pred_c = detect_craters(np.squeeze(pred))
+        gt_c = detect_craters(np.squeeze(gt))
+        if len(gt_c) == 0 and len(pred_c) == 0:
+            return 1.0
+        if len(gt_c) == 0 or len(pred_c) == 0:
+            return 0.0
+        matched_pred = np.zeros(len(pred_c), dtype=bool)
+        tp = 0
+        for gy, gx, gr in gt_c:
+            best = -1
+            best_d2 = np.inf
+            for j, (py, px, pr) in enumerate(pred_c):
+                if matched_pred[j]:
+                    continue
+                d2 = (gy - py) ** 2 + (gx - px) ** 2
+                if (d2 <= max(gr, pr) ** 2
+                        and max(gr, pr) <= 2.0 * min(gr, pr)
+                        and d2 < best_d2):
+                    best, best_d2 = j, d2
+            if best >= 0:
+                matched_pred[best] = True
+                tp += 1
+        fp = int((~matched_pred).sum())
+        fn = len(gt_c) - tp
+        return float(2 * tp / max(2 * tp + fp + fn, 1))
 
     # ------------------------------------------------------------- 3-D
     def evaluate_3d_reconstruction(

@@ -98,3 +98,62 @@ def test_edge_preservation_identical_edges(ev, terrain):
     # Using the depth itself as the "image" makes edges coincide.
     score = ev._calculate_edge_preservation(terrain, terrain)
     assert score == pytest.approx(1.0)
+
+
+# ------------------------------------------------------- crater detection
+def _crater_field(centers_radii, h=128, w=128, depth0=5.0, bowl=0.8):
+    """Flat plane + Gaussian bowls (locally DEEPER = larger depth)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    d = np.full((h, w), depth0)
+    for cy, cx, r in centers_radii:
+        d += bowl * np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * (r / 1.5) ** 2))
+    return d
+
+
+def test_detect_craters_finds_known_bowls():
+    from monodepth_tpu.utils.evaluation import detect_craters
+
+    truth = [(32, 32, 8), (90, 40, 12), (60, 100, 6)]
+    craters = detect_craters(_crater_field(truth))
+    assert len(craters) == len(truth)
+    for cy, cx, r in truth:
+        d = np.sqrt((craters[:, 0] - cy) ** 2 + (craters[:, 1] - cx) ** 2)
+        j = int(np.argmin(d))
+        assert d[j] <= 3.0, (cy, cx, craters)
+        # scale-space radius within 2x of the generating bowl radius
+        assert r / 2 <= craters[j, 2] <= r * 2
+
+
+def test_detect_craters_flat_and_invalid():
+    from monodepth_tpu.utils.evaluation import detect_craters
+
+    assert len(detect_craters(np.full((64, 64), 3.0))) == 0
+    assert len(detect_craters(np.full((64, 64), np.nan))) == 0
+
+
+def test_cda_stub_is_reference_default(ev, terrain):
+    # parity: the reference's CDA always returns 0.0 (evaluation.py:96-100)
+    assert ev.crater_detection_accuracy(terrain, terrain) == 0.0
+    assert ev.evaluate_depth_prediction(terrain, terrain)["cda"] == 0.0
+
+
+def test_real_cda_scores():
+    ev = MarsTerrainEvaluator(real_cda=True)
+    truth = [(32, 32, 8), (90, 40, 12), (60, 100, 6)]
+    gt = _crater_field(truth)
+    # identical maps: perfect detection F1
+    assert ev.crater_detection_accuracy(gt, gt) == pytest.approx(1.0)
+    # featureless prediction: finds none of the GT craters
+    assert ev.crater_detection_accuracy(np.full_like(gt, 5.0), gt) == 0.0
+    # missing one crater: F1 = 2*2 / (2*2 + 0 + 1) = 0.8
+    pred = _crater_field(truth[:2])
+    assert ev.crater_detection_accuracy(pred, gt) == pytest.approx(0.8)
+    # both featureless: nothing to find, nothing hallucinated
+    flat = np.full((64, 64), 2.0)
+    assert ev.crater_detection_accuracy(flat, flat) == 1.0
+
+
+def test_real_cda_in_full_metrics(terrain):
+    ev = MarsTerrainEvaluator(real_cda=True)
+    m = ev.evaluate_depth_prediction(terrain, terrain)
+    assert np.isfinite(m["cda"]) and 0.0 <= m["cda"] <= 1.0

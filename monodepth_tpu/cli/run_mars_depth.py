@@ -105,6 +105,11 @@ def parse_args(argv=None):
                              "RANDOM weights only; re-validate with "
                              "scripts/validate_real_weights.py on real "
                              "weights.")
+    parser.add_argument("--tta", action="store_true",
+                        help="Flip test-time augmentation (monodepth2 eval "
+                             "practice): forward the image AND its mirror, "
+                             "blend disparities with the Godard edge ramp. "
+                             "2x forward cost, sharper left/right borders.")
     return parser.parse_args(argv)
 
 
@@ -345,6 +350,7 @@ def main(argv=None):
         attn_global_pool=args.global_pool if args.native_resolution else 0,
         quantize=args.quantize,
         vit_variant=args.vit,
+        tta=args.tta,
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")

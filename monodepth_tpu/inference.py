@@ -198,12 +198,22 @@ class MarsDepthEstimator:
         # The bf16 perf path keeps the default (full MXU rate).
         parity_f32 = self.config.dtype == "float32"
 
+        tta = self.config.tta
+
         @jax.jit
         def fwd(variables, x, scale):
             with jax.default_matmul_precision(
                     "float32" if parity_f32 else "bfloat16"):
                 outputs = model.apply(variables, x, scale)
-            disp = outputs[("disp", 0)]
+                disp = outputs[("disp", 0)]
+                if tta:
+                    # flip TTA: forward the mirrored image, mirror its
+                    # disparity back, blend with the Godard ramp.  Only the
+                    # served disp/depth are blended; `outputs` stays the raw
+                    # single-pass dict (return_all contract unchanged).
+                    flipped = model.apply(variables, x[:, :, ::-1, :], scale)
+                    disp = tta_blend(disp,
+                                     flipped[("disp", 0)][:, :, ::-1, :])
             depth = 1.0 / jnp.clip(disp, 1e-6)  # run_mars_depth.py:137
             return outputs, disp, depth
 

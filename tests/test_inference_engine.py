@@ -85,3 +85,48 @@ def test_enhanced_estimator_has_uncertainty(rng):
     assert "uncertainty" in result
     assert result["uncertainty"].shape == (48, 48)
     assert (result["uncertainty"] >= 0).all() and (result["uncertainty"] <= 1).all()
+
+
+def test_tta_blend_properties(rng):
+    """Godard post-process: left 5%% edge takes the mirror's prediction,
+    right 5%% the original's, middle averages."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.inference import tta_blend
+
+    d = jnp.asarray(rng.random((1, 8, 100, 1), dtype=np.float32))
+    df = jnp.asarray(rng.random((1, 8, 100, 1), dtype=np.float32))
+    out = np.asarray(tta_blend(d, df))
+    np.testing.assert_allclose(out[:, :, 0], np.asarray(df)[:, :, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(out[:, :, -1], np.asarray(d)[:, :, -1],
+                               atol=1e-6)
+    mid = 50
+    np.testing.assert_allclose(
+        out[:, :, mid],
+        0.5 * (np.asarray(d)[:, :, mid] + np.asarray(df)[:, :, mid]),
+        atol=1e-6)
+    # identical inputs are a fixed point regardless of the ramp
+    np.testing.assert_allclose(np.asarray(tta_blend(d, d)), np.asarray(d),
+                               rtol=1e-6)
+
+
+def test_estimator_tta_matches_manual_blend(rng):
+    """tta=True must equal blending the plain estimator's prediction with
+    its mirrored-input prediction (same seed => same params)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.inference import tta_blend
+
+    plain = MarsDepthEstimator(ModelConfig(pretrained=False), seed=3)
+    tta = MarsDepthEstimator(ModelConfig(pretrained=False, tta=True), seed=3)
+    img = rng.random((64, 96, 3), dtype=np.float32)
+
+    got = tta.predict(img, {"source": "rover"})
+    d = plain.predict(img, {"source": "rover"})["disp"]
+    df = plain.predict(img[:, ::-1, :], {"source": "rover"})["disp"][:, ::-1]
+    want = np.asarray(tta_blend(jnp.asarray(d)[None, ..., None],
+                                jnp.asarray(df)[None, ..., None]))[0, ..., 0]
+    np.testing.assert_allclose(got["disp"], want, atol=2e-5)
+    np.testing.assert_allclose(got["depth"], 1.0 / np.clip(want, 1e-6, None),
+                               rtol=1e-4)

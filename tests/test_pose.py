@@ -267,3 +267,71 @@ def test_adapter_sequence_checkpoint_roundtrip(seq_data, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(a.params["pose"])[0]),
         np.asarray(jax.tree_util.tree_leaves(b.params["pose"])[0]))
+
+
+def test_sequence_mesh_train_step_matches_unsharded(rng):
+    """One TP+DP+FSDP-sharded sequence (depth+pose) train step equals the
+    single-device step: the joint params tree (pose subtree replicated, ViT
+    under the Megatron+FSDP rules) and the 6-channel pair batch compose
+    with the mesh exactly like the single-frame modes."""
+    from monodepth_tpu.parallel.mesh import (
+        create_mesh, shard_batch, shard_params,
+    )
+    from monodepth_tpu.train.adapter import make_optimizer, make_train_step
+
+    cfg = TrainConfig(model=ModelConfig(pretrained=False),
+                      loss_mode="sequence", batch_size=4,
+                      height=32, width=48, checkpoint_dir="")
+    from monodepth_tpu.models import build_model
+
+    model = build_model(cfg.model)
+    pose_net = PoseNet()
+    images = jnp.asarray(rng.random((4, 32, 48, 6), dtype=np.float32))
+    scales = jnp.ones((4,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images[:1, ..., :3],
+                           train=False)
+    params = dict(variables["params"])
+    params["pose"] = dict(
+        pose_net.init(jax.random.PRNGKey(2), images[:1])["params"])
+    stats = dict(variables["batch_stats"])
+    step_rng = jax.random.PRNGKey(1)
+
+    def one_step(params, stats, mesh):
+        tx = make_optimizer(params, cfg, steps_per_epoch=1)
+        if mesh is None:
+            opt_state = tx.init(params)
+            step = make_train_step(model, tx, cfg, pose_net=pose_net)
+            return step(params, stats, opt_state, images, scales, step_rng)
+        placed = shard_params({"params": params, "batch_stats": stats},
+                              mesh, fsdp=True)
+        params, stats = placed["params"], placed["batch_stats"]
+        opt_state = tx.init(params)
+        shard_of = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: getattr(x, "sharding", None), t)
+        step = make_train_step(
+            model, tx, cfg, pose_net=pose_net,
+            state_shardings=(shard_of(params), shard_of(opt_state)))
+        with mesh:
+            ims, scs = shard_batch((images, scales), mesh)
+            return step(params, stats, opt_state, ims, scs, step_rng)
+
+    import copy
+
+    ref_params, _, _, ref_losses = one_step(
+        copy.deepcopy(params), copy.deepcopy(stats), None)
+    mesh = create_mesh(jax.devices()[:8], model=2)
+    new_params, _, _, losses = one_step(params, stats, mesh)
+
+    np.testing.assert_allclose(float(losses["total"]),
+                               float(ref_losses["total"]),
+                               rtol=1e-5, atol=1e-6)
+    for leaf_got, leaf_want in zip(
+            jax.tree_util.tree_leaves(new_params["pose"]),
+            jax.tree_util.tree_leaves(ref_params["pose"])):
+        np.testing.assert_allclose(np.asarray(leaf_got),
+                                   np.asarray(leaf_want),
+                                   rtol=1e-4, atol=2e-5)
+    got = np.asarray(new_params["encoder"]["vit"]["block_0"]["qkv"]["kernel"])
+    want = np.asarray(
+        ref_params["encoder"]["vit"]["block_0"]["qkv"]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)

@@ -37,6 +37,12 @@ def parse_args(argv=None):
                    help="Score CDA with the real LoG crater detector + "
                         "detection F1 instead of the reference's always-0.0 "
                         "stub (utils/evaluation.py:detect_craters)")
+    p.add_argument("--median_scaling", action="store_true",
+                   help="Eigen/monodepth2 protocol for scale-ambiguous "
+                        "(self-supervised) predictions: rescale each "
+                        "prediction by median(gt)/median(pred) before "
+                        "scoring; reports the per-image ratio and its "
+                        "corpus std (scale-consistency diagnostic)")
     return p.parse_args(argv)
 
 
@@ -70,7 +76,8 @@ def main(argv=None):
         if not pairs:
             print(f"No matching ground truth in {args.gt_dir}")
             return 1
-        report = evaluator.evaluate_batch(pairs, output_dir=args.output_dir)
+        report = evaluator.evaluate_batch(pairs, output_dir=args.output_dir,
+                                          median_scaling=args.median_scaling)
         report["files"] = used
         print(json.dumps(report["mean"], indent=2))
     else:

@@ -125,18 +125,38 @@ class MarsTerrainEvaluator:
 
     # ----------------------------------------------------------- depth
     def evaluate_depth_prediction(
-        self, pred: np.ndarray, gt: np.ndarray, mask: Optional[np.ndarray] = None
+        self, pred: np.ndarray, gt: np.ndarray, mask: Optional[np.ndarray] = None,
+        median_scaling: bool = False,
     ) -> Dict[str, float]:
-        """Standard + Mars-specific metrics (reference evaluation.py:30-116)."""
+        """Standard + Mars-specific metrics (reference evaluation.py:30-116).
+
+        median_scaling=True applies the Eigen/monodepth2 evaluation protocol
+        for scale-ambiguous (self-supervised) predictions: the prediction is
+        rescaled by `ratio = median(gt) / median(pred)` over the valid mask
+        and clipped to [min_depth, max_depth] before any metric is computed.
+        The applied ratio is reported as `scale_ratio` (its spread across a
+        corpus is the standard scale-consistency diagnostic).  The reference
+        never implements this protocol — its self-supervised fine-tuning
+        (mars_adapter.py:190) is scored unscaled against simulated GT — but
+        every published monodepth2-style result uses it, so the capability
+        is required for comparable numbers.  Default False for reference
+        score parity."""
         pred = np.squeeze(np.asarray(pred, dtype=np.float64))
         gt = np.squeeze(np.asarray(gt, dtype=np.float64))
         valid = np.isfinite(gt) & np.isfinite(pred) & (gt > self.min_depth) & (gt < self.max_depth)
         if mask is not None:
             valid &= mask.astype(bool)
+        nan_keys = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3",
+                    "trp", "sfdr", "cda")
+        if median_scaling:
+            nan_keys = nan_keys + ("scale_ratio",)
         if valid.sum() == 0:
-            return {k: float("nan") for k in
-                    ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3",
-                     "trp", "sfdr", "cda")}
+            return {k: float("nan") for k in nan_keys}
+
+        if median_scaling:
+            med_pred = float(np.median(pred[valid]))
+            ratio = float(np.median(gt[valid]) / max(med_pred, 1e-12))
+            pred = np.clip(pred * ratio, self.min_depth, self.max_depth)
 
         p, g = pred[valid], gt[valid]
         p = np.clip(p, 1e-6, None)
@@ -161,6 +181,8 @@ class MarsTerrainEvaluator:
         metrics["trp"] = self.terrain_roughness_preservation(fill_p, fill_g)
         metrics["sfdr"] = self.small_feature_detection_rate(fill_p, fill_g)
         metrics["cda"] = self.crater_detection_accuracy(fill_p, fill_g)
+        if median_scaling:
+            metrics["scale_ratio"] = ratio
         return metrics
 
     def terrain_roughness_preservation(self, pred, gt, block: int = 8) -> float:
@@ -266,17 +288,26 @@ class MarsTerrainEvaluator:
         return metrics
 
     # ------------------------------------------------------------ batch
-    def evaluate_batch(self, pairs, output_dir: Optional[str] = None) -> Dict:
+    def evaluate_batch(self, pairs, output_dir: Optional[str] = None,
+                       median_scaling: bool = False) -> Dict:
         """Iterate (pred, gt) pairs -> aggregate metrics (+ metrics.json)
-        (reference evaluation.py:301-363)."""
+        (reference evaluation.py:301-363).  median_scaling applies the
+        per-image Eigen protocol (see evaluate_depth_prediction); the
+        aggregate then also reports the std of the per-image ratios."""
         all_metrics = []
         for pred, gt in pairs:
-            all_metrics.append(self.evaluate_depth_prediction(pred, gt))
+            all_metrics.append(self.evaluate_depth_prediction(
+                pred, gt, median_scaling=median_scaling))
         agg = {}
         if all_metrics:
             for k in all_metrics[0]:
                 vals = [m[k] for m in all_metrics if np.isfinite(m[k])]
                 agg[k] = float(np.mean(vals)) if vals else float("nan")
+        if median_scaling and all_metrics:
+            ratios = [m["scale_ratio"] for m in all_metrics
+                      if np.isfinite(m.get("scale_ratio", float("nan")))]
+            agg["scale_ratio_std"] = (float(np.std(ratios)) if ratios
+                                      else float("nan"))
         report = {"num_samples": len(all_metrics), "mean": agg, "per_sample": all_metrics}
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)

@@ -157,3 +157,60 @@ def test_real_cda_in_full_metrics(terrain):
     ev = MarsTerrainEvaluator(real_cda=True)
     m = ev.evaluate_depth_prediction(terrain, terrain)
     assert np.isfinite(m["cda"]) and 0.0 <= m["cda"] <= 1.0
+
+
+# ------------------------------------------------- median-scaling protocol
+def test_median_scaling_recovers_scale(ev, terrain):
+    """Eigen protocol: a prediction off by a global factor scores perfectly
+    once median-scaled, and the applied ratio is reported."""
+    m = ev.evaluate_depth_prediction(terrain * 0.25, terrain,
+                                     median_scaling=True)
+    assert m["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+    assert m["a1"] == 1.0
+    assert m["scale_ratio"] == pytest.approx(4.0, rel=1e-6)
+    # without the protocol the same prediction is heavily penalized
+    raw = ev.evaluate_depth_prediction(terrain * 0.25, terrain)
+    assert raw["abs_rel"] == pytest.approx(0.75, rel=1e-3)
+    assert "scale_ratio" not in raw
+
+
+def test_median_scaling_clips_to_depth_range(terrain):
+    """Scaled predictions are clipped to [min_depth, max_depth] (the
+    standard protocol's clip step)."""
+    ev = MarsTerrainEvaluator(min_depth=0.1, max_depth=10.0)
+    pred = terrain * 0.01
+    pred[0, 0] = 1e4  # scales to >> max_depth -> clipped to 10.0
+    m = ev.evaluate_depth_prediction(pred, terrain, median_scaling=True)
+    assert np.isfinite(m["abs_rel"])
+    assert m["abs_rel"] < 0.5
+
+
+def test_evaluate_batch_median_scaling_ratio_std(ev, terrain, tmp_path):
+    report = ev.evaluate_batch(
+        [(terrain * 0.5, terrain), (terrain * 2.0, terrain)],
+        output_dir=str(tmp_path), median_scaling=True)
+    assert report["mean"]["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+    ratios = [s["scale_ratio"] for s in report["per_sample"]]
+    assert ratios == pytest.approx([2.0, 0.5], rel=1e-6)
+    assert report["mean"]["scale_ratio_std"] == pytest.approx(
+        np.std(ratios), rel=1e-6)
+
+
+def test_evaluate_cli_median_scaling(terrain, tmp_path):
+    from monodepth_tpu.cli.evaluate import main
+
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    pred_dir.mkdir()
+    gt_dir.mkdir()
+    np.save(pred_dir / "a_depth.npy", terrain * 0.5)
+    np.save(gt_dir / "a_depth.npy", terrain)
+    out = tmp_path / "out"
+    assert main(["--pred_dir", str(pred_dir), "--gt_dir", str(gt_dir),
+                 "--output_dir", str(out), "--median_scaling"]) == 0
+    import json
+
+    with open(out / "metrics.json") as f:
+        report = json.load(f)
+    assert report["mean"]["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+    assert report["mean"]["scale_ratio"] == pytest.approx(2.0, rel=1e-6)

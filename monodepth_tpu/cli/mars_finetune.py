@@ -78,6 +78,12 @@ def parse_args(argv=None):
                         "'sequence' = the full monodepth2 objective on real "
                         "consecutive-frame pairs with a jointly trained "
                         "PoseNet and automasking (models/pose.py)")
+    p.add_argument("--multi_scale_loss", action="store_true",
+                   help="monodepth2 multi-scale supervision: average the "
+                        "objective over all 4 decoder scales (smoothness "
+                        "discounted per level) instead of supervising only "
+                        "the reference's single coarsest-level disparity; "
+                        "applies to every --loss_mode")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize ViT blocks on backward (larger batches "
                         "in HBM at ~30%% extra forward FLOPs)")
@@ -149,6 +155,7 @@ def main(argv=None):
         depth_weight=args.depth_weight,
         smoothness_weight=args.smoothness_weight,
         loss_mode=args.loss_mode,
+        loss_scales=(0, 1, 2, 3) if args.multi_scale_loss else (0,),
         checkpoint_dir=args.save_dir,
         checkpoint_every=args.checkpoint_every,
         checkpoint_every_steps=args.checkpoint_every_steps,

@@ -116,6 +116,16 @@ class TrainConfig:
     # motion, the reprojection warp uses it, and automasking suppresses
     # static/moving pixels (train/losses.py:compute_losses_sequence).
     loss_mode: str = "reference"
+    # Decoder scales the training objective averages over (monodepth2
+    # multi-scale supervision).  (0,) = reference behavior: only the
+    # coarsest-level disparity — ("disp", 0) is emitted at the coarsest
+    # decoder level, the reference's scale-index quirk (SURVEY.md §3.1) —
+    # is supervised.  (0, 1, 2, 3) supervises every scale: each scale's
+    # disparity is already upsampled to input resolution by the model, the
+    # per-scale losses are averaged, and the smoothness term is discounted
+    # by 2^-(finest_requested - s) per monodepth2's weight/2^level rule.
+    # Applies to every loss_mode.
+    loss_scales: Tuple[int, ...] = (0,)
     checkpoint_dir: str = "./checkpoints"
     checkpoint_every: int = 5
     # > 0: ALSO checkpoint every N optimizer steps WITH the data-loader

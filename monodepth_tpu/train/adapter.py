@@ -105,6 +105,22 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
     params['pose'] and train jointly with the depth model (monodepth2)."""
 
     loss_mode = getattr(cfg, "loss_mode", "reference")
+    # monodepth2 multi-scale supervision (TrainConfig.loss_scales): the
+    # objective is averaged over these decoder scales, with the smoothness
+    # term discounted by 2^-(finest - s) (scale 0 is the COARSEST here —
+    # the reference's scale-index quirk, SURVEY.md §3.1 — so the finest
+    # requested scale keeps the full weight).  Default (0,) = reference
+    # behavior, bit-identical to the pre-multi-scale step.
+    loss_scales = tuple(getattr(cfg, "loss_scales", (0,))) or (0,)
+    finest = max(loss_scales)
+    smooth_w = {s: cfg.smoothness_weight * (2.0 ** -(finest - s))
+                for s in loss_scales}
+
+    def _mean_losses(per_scale):
+        if len(per_scale) == 1:
+            return per_scale[0]
+        return {k: sum(d[k] for d in per_scale) / len(per_scale)
+                for k in per_scale[0]}
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, images, scales, rng):
@@ -121,30 +137,33 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
                 )
                 axisangle, translation = pose_net.apply(
                     {"params": p["pose"]}, images)
-                losses = compute_losses_sequence(
-                    target, source, outputs[("disp", 0)],
+                losses = _mean_losses([compute_losses_sequence(
+                    target, source, outputs[("disp", s)],
                     axisangle, translation, rng,
                     depth_weight=cfg.depth_weight,
-                    smoothness_weight=cfg.smoothness_weight,
+                    smoothness_weight=smooth_w[s],
                     min_depth=cfg.model.min_depth,
                     max_depth=cfg.model.max_depth,
-                )
+                ) for s in loss_scales])
                 return losses["total"], (mutated["batch_stats"], losses)
             if loss_mode == "photometric":
-                # SSIM+L1 reprojection objective (train/losses.py)
+                # SSIM+L1 reprojection objective (train/losses.py); the rng
+                # is shared across scales, so every scale reprojects through
+                # the same sampled pose (monodepth2 semantics) and XLA CSEs
+                # the synthetic source view render
                 from monodepth_tpu.train.losses import compute_losses_photometric
 
                 outputs, mutated = model.apply(
                     {"params": p, "batch_stats": batch_stats},
                     images, scales, train=True, mutable=["batch_stats"],
                 )
-                losses = compute_losses_photometric(
-                    images, outputs[("disp", 0)], rng,
+                losses = _mean_losses([compute_losses_photometric(
+                    images, outputs[("disp", s)], rng,
                     depth_weight=cfg.depth_weight,
-                    smoothness_weight=cfg.smoothness_weight,
+                    smoothness_weight=smooth_w[s],
                     min_depth=cfg.model.min_depth,
                     max_depth=cfg.model.max_depth,
-                )
+                ) for s in loss_scales])
                 return losses["total"], (mutated["batch_stats"], losses)
             if loss_mode == "flip":
                 # one forward over [images; flipped images] for the
@@ -157,25 +176,25 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
                     {"params": p, "batch_stats": batch_stats},
                     both, both_scales, train=True, mutable=["batch_stats"],
                 )
-                disp = outputs[("disp", 0)]
                 b = images.shape[0]
-                losses = compute_losses_flip(
-                    images, disp[:b], disp[b:],
+                losses = _mean_losses([compute_losses_flip(
+                    images, outputs[("disp", s)][:b], outputs[("disp", s)][b:],
                     depth_weight=cfg.depth_weight,
-                    smoothness_weight=cfg.smoothness_weight,
-                )
+                    smoothness_weight=smooth_w[s],
+                ) for s in loss_scales])
                 return losses["total"], (mutated["batch_stats"], losses)
             outputs, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 images, scales, train=True, mutable=["batch_stats"],
             )
-            losses = compute_losses(
+            losses = _mean_losses([compute_losses(
                 images, outputs, rng,
                 depth_weight=cfg.depth_weight,
-                smoothness_weight=cfg.smoothness_weight,
+                smoothness_weight=smooth_w[s],
                 min_depth=cfg.model.min_depth,
                 max_depth=cfg.model.max_depth,
-            )
+                scale=s,
+            ) for s in loss_scales])
             return losses["total"], (mutated["batch_stats"], losses)
 
         grads, (new_stats, losses) = jax.grad(loss_fn, has_aux=True)(params)

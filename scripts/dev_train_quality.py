@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Dev: does fine-tuning actually improve depth structure?
+
+Trains the standard model from random init with a real self-supervised
+objective (default: the photometric SSIM+L1 reprojection loss) on
+synthetic Mars data, and scores the model on held-out REAL Mars assets
+BEFORE and AFTER — with metrics the objective does not directly optimize:
+
+  - left-right flip inconsistency: mean |disp(x) - mirror(disp(flip x))|
+    normalized by mean disp.  A model that has learned any geometry-like
+    function should respond to a mirrored scene with a mirrored disparity;
+    random weights have no reason to.  (Not optimized by the photometric
+    or sequence objectives — only `--loss_mode flip` trains it directly,
+    so don't use that mode here if you want non-circular evidence.)
+  - the reference's no-reference proxy score (edge + detail - 2*noise,
+    hyperparameter_optimization.py:220-232).
+
+Caveat (same as every absolute-quality number in this environment): no
+pretrained ViT weights exist here, so this measures that the TRAINING
+STACK optimizes real structure from scratch — not that the resulting
+depth is metrically good.  With IMAGENET1K_V1 weights mounted the same
+harness measures fine-tuning quality drift on real assets.
+
+Usage: python scripts/dev_train_quality.py [--epochs 30] [--height 96]
+         [--width 128] [--loss_mode photometric] [--multi_scale]
+         [--eval_per_source 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--height", type=int, default=96)
+    p.add_argument("--width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--loss_mode", type=str, default="photometric",
+                   choices=["reference", "photometric", "sequence"])
+    p.add_argument("--multi_scale", action="store_true")
+    p.add_argument("--eval_per_source", type=int, default=2)
+    p.add_argument("--seeds_dir", type=str,
+                   default="/root/reference/assets/rover")
+    p.add_argument("--num_variants", type=int, default=4)
+    p.add_argument("--max_seeds", type=int, default=8)
+    return p.parse_args()
+
+
+def load_eval_images(args):
+    """Held-out real assets at exactly the train (H, W)."""
+    from PIL import Image
+
+    paths = []
+    for source in ("rover", "satellite", "ingenuity"):
+        paths.extend(sorted(glob.glob(
+            f"/root/reference/assets/{source}/*.png"))[-args.eval_per_source:])
+    assert paths, "no assets found"
+    out = []
+    for p in paths:
+        img = Image.open(p).convert("RGB").resize(
+            (args.width, args.height), Image.LANCZOS)
+        out.append(np.asarray(img, dtype=np.float32) / 255.0)
+    return np.stack(out)
+
+
+def make_scorer(adapter, eval_images):
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.layers import disp_to_depth
+    from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator
+
+    model = adapter.model
+    evaluator = MarsTerrainEvaluator()
+    batch = jnp.asarray(eval_images)
+
+    @jax.jit
+    def fwd(variables, x):
+        return model.apply(variables, x, 1.0)[("disp", 0)]
+
+    def score():
+        params = {k: v for k, v in adapter.params.items() if k != "pose"}
+        variables = {"params": params, "batch_stats": adapter.batch_stats}
+        disp = np.asarray(fwd(variables, batch))
+        disp_f = np.asarray(fwd(variables, batch[:, :, ::-1, :]))
+        flip_inc = float(np.mean(np.abs(disp - disp_f[:, :, ::-1, :]))
+                         / max(float(np.mean(disp)), 1e-9))
+        _, depth = disp_to_depth(jnp.asarray(disp), 0.1, 100.0)
+        proxies = []
+        for i in range(len(eval_images)):
+            m = evaluator.compute_proxy_metrics(
+                np.asarray(depth[i, ..., 0]), eval_images[i])
+            proxies.append(m["edge_score"] + m["detail_score"]
+                           - 2.0 * m["noise_score"])
+        return {"flip_inconsistency": flip_inc,
+                "proxy_score": float(np.mean(proxies))}
+
+    return score
+
+
+def main():
+    args = parse_args()
+
+    from monodepth_tpu.config import ModelConfig, TrainConfig
+    from monodepth_tpu.data.synthetic import prepare_synthetic_mars_data
+    from monodepth_tpu.train.adapter import MarsDomainAdapter
+
+    data_dir = tempfile.mkdtemp(prefix="train_quality_")
+    n = prepare_synthetic_mars_data(
+        args.seeds_dir, data_dir, source="rover",
+        num_variants=args.num_variants,
+        size=(args.height, args.width), seed=0, max_seeds=args.max_seeds)
+    print(f"synthetic training set: {n} images under {data_dir}", flush=True)
+
+    cfg = TrainConfig(
+        model=ModelConfig(pretrained=False, dtype="bfloat16"),
+        data_dir=data_dir,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        height=args.height,
+        width=args.width,
+        loss_mode=args.loss_mode,
+        loss_scales=(0, 1, 2, 3) if args.multi_scale else (0,),
+        checkpoint_dir="",
+        num_workers=2,
+    )
+    adapter = MarsDomainAdapter(cfg)
+    eval_images = load_eval_images(args)
+    score = make_scorer(adapter, eval_images)
+
+    before = score()
+    print(f"before training: {before}", flush=True)
+    history = adapter.finetune(args.epochs)["history"]
+    after = score()
+    print(f"after  training: {after}", flush=True)
+
+    summary = {
+        "epochs": args.epochs,
+        "loss_mode": args.loss_mode,
+        "multi_scale": bool(args.multi_scale),
+        "train_loss_first": history[0]["train"]["total"],
+        "train_loss_last": history[-1]["train"]["total"],
+        "before": before,
+        "after": after,
+        "flip_inconsistency_delta": after["flip_inconsistency"]
+        - before["flip_inconsistency"],
+        "proxy_score_delta": after["proxy_score"] - before["proxy_score"],
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,100 @@ def test_geospatial_reference(recon):
         {"latitude": -4.5, "longitude": 137.4, "altitude": 10.0, "source": "rover"}
     )
     assert geo == {"latitude": -4.5, "longitude": 137.4, "altitude": 10.0}
+
+
+# ------------------------------------------------------------------- DEM
+def test_export_dem_flat_plane(recon):
+    """A fronto-parallel plane at depth d is a vertical wall: its DEM
+    collapses to one z-row whose cells hold the column-mean elevation
+    (analytic: (cy - mean_row) * d / fy)."""
+    h, w, d = 32, 48, 5.0
+    depth = np.full((h, w), d)
+    points, _ = recon.create_point_cloud(depth)
+    dem, t = recon.export_dem(points, grid_shape=(16, 16), fill=True)
+    assert dem.shape == (t["nrows"], t["ncols"])
+    assert t["nrows"] == 1
+    finite = dem[np.isfinite(dem)]
+    assert len(finite) > 0
+    fy = 0.7 * max(h, w)
+    expect = (h / 2.0 - (h - 1) / 2.0) * d / fy
+    np.testing.assert_allclose(finite, expect, rtol=1e-6)
+
+
+def test_export_dem_sloped_terrain_elevation_gradient(recon):
+    """Terrain whose elevation rises with distance: DEM row order is
+    far-edge-first (ESRI north-up), so row 0 holds the highest ground."""
+    ys, xs = np.mgrid[0:64, 0:64]
+    # camera looking at ground: nearer rows (large y) closer & lower
+    depth = 2.0 + 6.0 * (1.0 - ys / 64.0)
+    points, _ = recon.create_point_cloud(depth)
+    # rotate camera frame: treat -y as elevation directly (already so)
+    dem, t = recon.export_dem(points, grid_shape=(32, 32))
+    row_means = np.nanmean(dem, axis=1)
+    valid = np.isfinite(row_means)
+    assert valid.sum() >= 8
+    rm = row_means[valid]
+    # far rows (index 0) were imaged at the image's top (small pixel y ->
+    # large -y elevation): elevation decreases toward near rows
+    assert rm[0] > rm[-1]
+
+
+def test_export_dem_fill_interior_only(recon):
+    """Hole fill copies the nearest populated cell for interior gaps but
+    leaves out-of-footprint cells NODATA."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (500, 3))
+    pts[:, 2] = np.abs(pts[:, 2]) + 1.0  # positive depth band
+    # cut a hole in the middle of the footprint
+    hole = (np.abs(pts[:, 0]) < 0.2) & (np.abs(pts[:, 2] - 1.5) < 0.2)
+    pts = pts[~hole]
+    dem_nf, t = recon.export_dem(pts, grid_shape=(24, 24), fill=False)
+    dem_f, _ = recon.export_dem(pts, grid_shape=(24, 24), fill=True)
+    assert np.isnan(dem_nf).sum() > np.isnan(dem_f).sum()
+    # filled values came from real cells
+    filled_mask = np.isnan(dem_nf) & np.isfinite(dem_f)
+    assert filled_mask.any()
+    assert np.isin(dem_f[filled_mask].round(9),
+                   dem_nf[np.isfinite(dem_nf)].round(9)).all()
+
+
+def test_dem_asc_roundtrip(recon, tmp_path, rng):
+    pts = rng.random((400, 3)) * np.array([4.0, 2.0, 3.0]) + np.array([0, 0, 1.0])
+    dem, t = recon.export_dem(pts, resolution=0.25)
+    recon.add_geospatial_reference({"latitude": -4.5, "longitude": 137.4})
+    dem2, t2 = recon.export_dem(pts, resolution=0.25)
+    path = str(tmp_path / "out_dem.asc")
+    recon.save_dem(dem2, t2, path)
+    loaded, lt = recon.load_dem(path)
+    assert loaded.shape == dem2.shape
+    both = np.isfinite(dem2) & np.isfinite(loaded)
+    np.testing.assert_allclose(loaded[both], dem2[both], rtol=1e-4, atol=1e-4)
+    assert (np.isnan(loaded) == np.isnan(dem2)).all()
+    assert lt["cellsize"] == pytest.approx(0.25)
+    # transform sidecar carries the geospatial metadata
+    import json
+
+    with open(str(tmp_path / "out_dem_transform.json")) as f:
+        side = json.load(f)
+    assert side["latitude"] == -4.5 and side["longitude"] == 137.4
+
+
+def test_export_dem_empty_raises(recon):
+    with pytest.raises(ValueError):
+        recon.export_dem(np.zeros((0, 3)))
+
+
+def test_mapper_process_image_to_dem(rng):
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+    from monodepth_tpu.utils.terrain import MarsTerrainMapper
+
+    est = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    mapper = MarsTerrainMapper(estimator=est)
+    img = rng.random((48, 64, 3)).astype(np.float32)
+    dem, t = mapper.process_image_to_dem(
+        img, metadata={"source": "rover", "latitude": 18.4},
+        grid_shape=(32, 32))
+    assert np.isfinite(dem).any()
+    assert t["latitude"] == 18.4
+    assert t["cellsize"] > 0

@@ -81,3 +81,25 @@ def test_run_mars_depth_batched(image_dir, tmp_path):
     assert a.shape == b.shape and np.isfinite(a).all() and np.isfinite(b).all()
     # satellite scaling (0.01) must differ from rover scaling (1.0)
     assert not np.allclose(a, b)
+
+
+def test_run_mars_depth_dem_artifact(image_dir, tmp_path):
+    """--dem writes a loadable ESRI ASCII elevation raster + sidecar."""
+    from monodepth_tpu.cli.run_mars_depth import main
+    from monodepth_tpu.utils.terrain import TerrainReconstructor
+
+    out = tmp_path / "out"
+    rc = main([
+        "--input", str(image_dir / "rover_test.png"),
+        "--output_dir", str(out),
+        "--max_size", "64",
+        "--dem",
+    ])
+    assert rc == 0
+    dem_path = out / "rover_test" / "rover_test_dem.asc"
+    assert dem_path.exists()
+    assert (out / "rover_test" / "rover_test_dem_transform.json").exists()
+    dem, t = TerrainReconstructor.load_dem(str(dem_path))
+    assert dem.shape == (t["nrows"], t["ncols"])
+    assert np.isfinite(dem).any()
+    assert t["cellsize"] > 0

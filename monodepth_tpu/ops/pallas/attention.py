@@ -83,11 +83,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, acc_scr, *scratch,
     # cheaper primitive.
     # Matmul inputs stay in the INPUT dtype (bf16 on the perf path) with f32
     # accumulation; softmax statistics (max / accumulator) remain f32.
-    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
-    k = k_ref[0]
+    # The scale*log2(e) multiply happens on the f32 LOGITS, not on q:
+    # pre-scaling bf16 q re-rounds q*c to bf16 (rel ~2^-9), which at
+    # unscaled-logit magnitudes (|s|~25 for the spatial block's 4096 keys)
+    # perturbs the softmax by ~5e-2 — measured on-chip 2.2x WORSE than the
+    # XLA-bf16 baseline.  Post-matmul, the multiply joins the sub/exp2
+    # elementwise chain (one VMEM pass either way) and the matmul operands
+    # match the XLA baseline bit-for-bit.
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, BK] f32 — logits pre-scaled by log2(e)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32
+    ) * (scale * 1.4426950408889634)  # [BQ, BK] f32, scaled by s*log2(e)
 
     # Mask keys at/after s_real (sequence padding).
     if num_k * block_k > s_real:
@@ -244,14 +250,15 @@ def _short_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
     needs_mask = s_real < s_pad
     for h in range(heads_per_block):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        # base-2 softmax: log2(e) folded into the query scale (see flash);
-        # matmul operands stay in input dtype (bf16 on chip) with f32
-        # accumulation — all-f32 MXU matmuls run at ~1/4 the bf16 rate
-        q = q_ref[0, :, sl] * jnp.asarray(scale * 1.4426950408889634,
-                                          q_ref.dtype)
+        # base-2 softmax: scale*log2(e) applied to the f32 logits (NOT
+        # pre-folded into bf16 q — see _flash_kernel); matmul operands stay
+        # in input dtype (bf16 on chip) with f32 accumulation — all-f32 MXU
+        # matmuls run at ~1/4 the bf16 rate
+        q = q_ref[0, :, sl]
         k = k_ref[0, :, sl]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * (scale * 1.4426950408889634)
         if needs_mask:
             s = jnp.where(col < s_real, s, _NEG_BIG)
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -330,11 +337,13 @@ def _window_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_block: int,
         v = v_ref[0, :, cols, :].reshape(n, heads_per_block * head_dim)
         for h in range(heads_per_block):
             sl = slice(h * head_dim, (h + 1) * head_dim)
-            # bf16 matmul operands, f32 accumulation (see _flash_kernel)
-            qh = q[:, sl] * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+            # bf16 matmul operands, f32 accumulation; scale*log2(e) applied
+            # to the f32 logits, not pre-folded into bf16 q (_flash_kernel)
+            qh = q[:, sl]
             kh = k[:, sl]
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32
+                                    ) * (scale * 1.4426950408889634)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp2(s)
             p = p / jnp.sum(p, axis=-1, keepdims=True)

@@ -114,14 +114,32 @@ def check_compiled_kernels(small: bool = False) -> int:
     failures = 0
 
     def run(tag, got_fn, want_fn, args, atol):
+        """Assert the Pallas kernel is no worse than the bf16 XLA baseline.
+
+        A direct pallas-vs-xla atol is ill-conditioned for these shapes:
+        with unscaled logits over 4096 keys, bf16 input rounding ALONE moves
+        the XLA output up to ~8e-2 from the f32 ground truth, so two equally
+        good bf16 implementations can legitimately differ by ~5e-2 between
+        themselves (measured on-chip, 2026-08-18).  The meaningful claim is
+        relative: each impl's deviation from an f32-operand ground truth,
+        with the Pallas error bounded by 1.5x the XLA-bf16 error (floor
+        `atol` for the well-conditioned short shapes where both are ~0).
+        """
         nonlocal failures
+        f32_args = tuple(a.astype(jnp.float32) for a in args)
+        with jax.default_matmul_precision("float32"):
+            want = np.asarray(jax.jit(want_fn)(*f32_args), dtype=np.float32)
         got = np.asarray(jax.jit(got_fn)(*args), dtype=np.float32)
-        want = np.asarray(jax.jit(want_fn)(*args), dtype=np.float32)
+        base = np.asarray(jax.jit(want_fn)(*args), dtype=np.float32)
         err = float(np.abs(got - want).max())
         mean = float(np.abs(got - want).mean())
-        ok = err <= atol and mean <= atol / 10
-        print(f"  kernel {tag}: max|err| {err:.2e} mean {mean:.2e} "
-              f"(atol {atol:g}) {'ok' if ok else 'FAIL'}", flush=True)
+        err_b = float(np.abs(base - want).max())
+        mean_b = float(np.abs(base - want).mean())
+        ok = (err <= max(1.5 * err_b, atol)
+              and mean <= max(1.5 * mean_b, atol / 10))
+        print(f"  kernel {tag}: vs f32 gt max|err| {err:.2e} mean {mean:.2e} "
+              f"(xla-bf16 baseline {err_b:.2e}/{mean_b:.2e}, floor {atol:g}) "
+              f"{'ok' if ok else 'FAIL'}", flush=True)
         failures += 0 if ok else 1
 
     # 1. flash MHA at the native global-block shape (odd length: padding+mask)

@@ -61,17 +61,26 @@ def _stage_inputs(batch, size, n=3):
 
 
 def _pipelined_img_per_s(fwd, variables, xs, batch, repeats):
-    """Warm up, then time `repeats` pipelined dispatches + one probe fetch."""
+    """Warm up, then time `repeats` pipelined dispatches + one probe fetch.
+
+    The per-sample scale vectors are pre-staged on device like the inputs:
+    building a fresh `jnp.full` every dispatch is a blocking host->device
+    transfer that bounds the dispatch rate for small programs (batch-1
+    @384px measured 172-212 img/s with per-step transfers vs 226-247
+    pre-staged — the device was 40% idle waiting on the host)."""
+    import jax
     import jax.numpy as jnp
 
+    scales = [jax.device_put(jnp.full((batch,), 1.0 + 1e-3 * i))
+              for i in range(len(xs))]
+    for s in scales:
+        s.block_until_ready()
     for i in range(3):
-        out, probe = fwd(variables, xs[i % len(xs)],
-                         jnp.full((batch,), 1.0 + 1e-3 * i))
+        out, probe = fwd(variables, xs[i % len(xs)], scales[i % len(xs)])
         np.asarray(probe)
     t0 = time.perf_counter()
     for i in range(repeats):
-        out, probe = fwd(variables, xs[i % len(xs)],
-                         jnp.full((batch,), 1.0 + 1e-3 * i))
+        out, probe = fwd(variables, xs[i % len(xs)], scales[i % len(xs)])
     np.asarray(probe)  # in-order execution: waits for all `repeats` programs
     dt = time.perf_counter() - t0
     return repeats * batch / dt
@@ -265,13 +274,18 @@ def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
         from monodepth_tpu.config import ModelConfig
         from monodepth_tpu.inference import MarsDepthEstimator
 
+        # host_upsample matches the serve CLI default: the device returns
+        # the decoder-resolution map and the host upsamples (the full-res
+        # fetch through the tunnel bounded the old end-to-end number)
         estimator = MarsDepthEstimator(
-            ModelConfig(dtype="bfloat16", pretrained=False))
+            ModelConfig(dtype="bfloat16", pretrained=False,
+                        host_upsample=True))
     service = DepthService(estimator, max_batch=max_batch)
     # Warm every bucket shape the batcher can send to the device (the
     # serve CLI's --warmup does the same) so no timed request compiles.
     for b in reversed(service.batcher._buckets):
-        estimator.predict_batch(np.zeros((b, size, size, 3), np.float32))
+        # uint8 like real decoded requests (device-side normalize program)
+        estimator.predict_batch(np.zeros((b, size, size, 3), np.uint8))
     server, port = serve_in_thread(service, model_desc="bench")
     try:
         rng = np.random.default_rng(0)
@@ -326,7 +340,11 @@ def run_all(headline_value, batch, size, repeats):
     ]
 
     _log("[bench --all] config 1: standard @384, batch 1 ...")
-    v = bench_standard(1, 384, max(repeats, 30))
+    # latency-bound batch-1 dispatch is at the mercy of relay weather
+    # (observed 172-247 img/s across identical runs); report the median of
+    # three independent measurements instead of one draw
+    v = float(np.median([bench_standard(1, 384, max(repeats, 30))
+                         for _ in range(3)]))
     results.append({
         "config": "1_single_image_384px_standard",
         "metric": "images/sec/chip, standard bf16, 384px, batch 1",

@@ -63,7 +63,11 @@ def _decode_image(data: bytes, max_size: int,
         scale = max_size / max(img.size)
         img = img.resize((int(img.size[0] * scale), int(img.size[1] * scale)),
                          Image.LANCZOS)
-    return np.asarray(img, dtype=np.float32) / 255.0
+    # stay uint8: the estimator normalizes ON DEVICE (u8 -> f32/255 inside
+    # jit, within a f32 ULP of the host division) so the host->device upload
+    # ships 1 byte/channel instead of 4 — after the host-upsample fix the
+    # f32 image upload was the serving pipeline's largest remaining transfer
+    return np.asarray(img, dtype=np.uint8)
 
 
 def make_server(service: DepthService, host: str = "127.0.0.1",
@@ -297,12 +301,25 @@ def main(argv=None) -> int:
                         "startup (e.g. '288x512,512x512') so the first "
                         "request per shape does not pay the ~60-90 s "
                         "remote compile")
+    p.add_argument("--no_host_upsample", action="store_true",
+                   help="fetch the full-resolution depth from the device "
+                        "instead of upsampling the decoder-resolution map "
+                        "on host.  Host upsample (the default) ships ~300x "
+                        "fewer device->host bytes — the serving bottleneck "
+                        "through a tunneled runtime — and is at least as "
+                        "precise (f32 host resample of the same two-tap "
+                        "tables vs the device's bf16 resize); response "
+                        "format is unchanged")
     args = p.parse_args(argv)
 
     config = ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,
                          vit_variant=args.vit,
                          checkpoint=args.checkpoint,
                          native_patching=args.native_resolution,
+                         # frozen artifacts carry their own (full-res)
+                         # output program; host upsample needs the live model
+                         host_upsample=(not args.no_host_upsample
+                                        and not args.artifact),
                          quantize=args.quantize)
     # With --artifact the frozen program carries its own device placement;
     # mesh-sharding the weight arrays would only add a reshard on the hot
@@ -341,12 +358,15 @@ def main(argv=None) -> int:
     service = DepthService(backend, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
                            max_queue=args.max_queue, buckets=buckets)
+    # live requests arrive as uint8 (device-side normalize); the artifact
+    # program is traced f32 and host-converts, so either dtype warms it
+    warm_dtype = np.float32 if args.artifact else np.uint8
     for h, w in warmup_shapes:
         # warm every bucket the MicroBatcher can pad to — it only ever sends
         # these sizes to the device, so no live request pays a cold compile
         for b in reversed(service.batcher._buckets):
             print(f"warmup {h}x{w} batch {b} ...", flush=True)
-            backend.predict_batch(np.zeros((b, h, w, 3), np.float32))
+            backend.predict_batch(np.zeros((b, h, w, 3), warm_dtype))
     desc = ("enhanced" if args.enhanced_model else "standard") + \
         ("/native" if args.native_resolution else "") + f"/{args.dtype}" + \
         ("/int8" if args.quantize else "") + \

@@ -65,6 +65,14 @@ class ModelConfig:
     # skipping eight unused full-resolution output resizes.  False keeps the
     # reference's full 11-key output contract.
     light_outputs: bool = False
+    # Serving knob: the device returns the DECODER-resolution scale-0 maps
+    # and the estimator upsamples + computes depth on host in f32 (ops/
+    # resize.resize_bilinear_np, same resampling tables as the device).
+    # Cuts device->host transfer ~300x — the end-to-end serving bottleneck
+    # through a tunneled runtime — and is numerically at least as precise
+    # as the device's dtype-following resize (bf16 on the perf path).
+    # Implies scale-0-only outputs; predict(return_all=True) is rejected.
+    host_upsample: bool = False
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 

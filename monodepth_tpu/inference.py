@@ -200,8 +200,16 @@ class MarsDepthEstimator:
 
         tta = self.config.tta
 
+        host_up = self.config.host_upsample
+
         @jax.jit
         def fwd(variables, x, scale):
+            if x.dtype == jnp.uint8:
+                # uint8 feed: normalize ON DEVICE — within a f32 ULP of
+                # the host `preprocess_image` division (XLA may emit a
+                # reciprocal multiply), at 1/4 the upload bytes (the image
+                # upload bounds tunneled serving throughput)
+                x = x.astype(jnp.float32) / 255.0
             with jax.default_matmul_precision(
                     "float32" if parity_f32 else "bfloat16"):
                 outputs = model.apply(variables, x, scale)
@@ -214,10 +222,33 @@ class MarsDepthEstimator:
                     flipped = model.apply(variables, x[:, :, ::-1, :], scale)
                     disp = tta_blend(disp,
                                      flipped[("disp", 0)][:, :, ::-1, :])
+            if host_up:
+                # coarse maps come back; host resizes + derives depth
+                return outputs, disp, None
             depth = 1.0 / jnp.clip(disp, 1e-6)  # run_mars_depth.py:137
             return outputs, disp, depth
 
         return fwd
+
+    def _host_finalize(self, outputs, disp, size, b) -> Dict[str, np.ndarray]:
+        """host_upsample epilogue: fetch the DECODER-resolution maps and
+        upsample on host in f32 (ops/resize.resize_bilinear_np — same
+        resampling tables as the device path), then depth = 1/clamp(disp)
+        (run_mars_depth.py:137).  Fetching e.g. 28x30 instead of 512x512
+        cuts device->host bytes ~300x; through the tunneled runtime that
+        transfer — not compute — bounds end-to-end serving throughput."""
+        from monodepth_tpu.ops.resize import resize_bilinear_np
+
+        d = resize_bilinear_np(np.asarray(disp[:b], dtype=np.float32), size)
+        result = {
+            "disp": d[..., 0],
+            "depth": 1.0 / np.maximum(d[..., 0], np.float32(1e-6)),
+        }
+        if ("uncertainty", 0) in outputs:
+            result["uncertainty"] = resize_bilinear_np(
+                np.asarray(outputs[("uncertainty", 0)][:b], dtype=np.float32),
+                size)[..., 0]
+        return result
 
     def predict(
         self,
@@ -241,11 +272,21 @@ class MarsDepthEstimator:
                     else v[0])
                 for k, v in batched.items()
             }
-        x = preprocess_image(image)[None]
+        image = np.asarray(image)
+        x = (image[None] if image.dtype == np.uint8
+             else preprocess_image(image)[None])
         scale = disp_scale_factor(metadata)
+        if return_all and self.config.host_upsample:
+            raise ValueError(
+                "return_all is unavailable with host_upsample=True (the "
+                "device only returns the scale-0 maps); build the estimator "
+                "with host_upsample=False for the full output dict")
         outputs, disp, depth = self._jitted_forward(
             self.variables, jnp.asarray(x), jnp.float32(scale)
         )
+        if self.config.host_upsample:
+            return {k: v[0] for k, v in self._host_finalize(
+                outputs, disp, x.shape[1:3], 1).items()}
         result = {
             "disp": np.asarray(disp[0, ..., 0], dtype=np.float32),
             "depth": np.asarray(depth[0, ..., 0], dtype=np.float32),
@@ -266,8 +307,15 @@ class MarsDepthEstimator:
         metadatas: Optional[Sequence[Mapping]] = None,
         return_all: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """Batch [B, H, W, 3] with per-sample metadata -> batched outputs."""
-        x = np.stack([preprocess_image(im) for im in images])
+        """Batch [B, H, W, 3] with per-sample metadata -> batched outputs.
+
+        uint8 batches are fed to the device as-is and normalized inside
+        jit (within a f32 ULP of `preprocess_image`, 4x smaller upload)."""
+        arrs = [np.asarray(im) for im in images]
+        if all(a.dtype == np.uint8 for a in arrs):
+            x = np.stack(arrs)
+        else:
+            x = np.stack([preprocess_image(a) for a in arrs])
         b = x.shape[0]
         if metadatas is None:
             scales = np.ones((b,), np.float32)
@@ -287,7 +335,14 @@ class MarsDepthEstimator:
                 xb = jnp.concatenate([xb, jnp.repeat(xb[:1], pad, axis=0)])
                 sb = jnp.concatenate([sb, jnp.repeat(sb[:1], pad, axis=0)])
             xb, sb = shard_batch((xb, sb), self.mesh)
+        if return_all and self.config.host_upsample:
+            raise ValueError(
+                "return_all is unavailable with host_upsample=True (the "
+                "device only returns the scale-0 maps); build the estimator "
+                "with host_upsample=False for the full output dict")
         outputs, disp, depth = self._jitted_forward(self.variables, xb, sb)
+        if self.config.host_upsample:
+            return self._host_finalize(outputs, disp, x.shape[1:3], b)
         result = {
             "disp": np.asarray(disp[:b, ..., 0], dtype=np.float32),
             "depth": np.asarray(depth[:b, ..., 0], dtype=np.float32),

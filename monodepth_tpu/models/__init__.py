@@ -41,8 +41,15 @@ def build_model(cfg, *, output_scales=None):
         remat=cfg.remat,
         vit_variant=cfg.vit_variant,
     )
+    host_up = getattr(cfg, "host_upsample", False)
     if cfg.enhanced:
-        return EnhancedDepthAnything(light_outputs=cfg.light_outputs, **kwargs)
+        return EnhancedDepthAnything(
+            light_outputs=cfg.light_outputs or host_up,
+            resize_outputs=not host_up, **kwargs)
+    if host_up:
+        # host-upsample serving: device returns the coarse scale-0 map only
+        output_scales = (0,)
+        kwargs["resize_outputs"] = False
     if output_scales is not None:
         kwargs["output_scales"] = tuple(output_scales)
     return DepthAnything(**kwargs)

@@ -157,6 +157,12 @@ class EnhancedDepthAnything(nn.Module):
     # — skips eight full-resolution output resizes the CLI never reads.
     # False preserves the reference's full 11-key output contract.
     light_outputs: bool = False
+    # Serving knob: skip the final resize-to-input-size and the ("depth", s)
+    # keys (the reference computes depth from the RESIZED disparity,
+    # enhanced_model.py:265-277, so depth must be derived after the caller's
+    # host-side upsample).  Returns decoder-resolution maps; see
+    # models/model.py `resize_outputs` for why.
+    resize_outputs: bool = True
 
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
@@ -232,6 +238,9 @@ class EnhancedDepthAnything(nn.Module):
         if self.light_outputs:
             outputs = {k: v for k, v in outputs.items()
                        if k in (("disp", 0), ("uncertainty", 0))}
+
+        if not self.resize_outputs:
+            return outputs
 
         # Resize ALL outputs to the original size (:265-271).
         for key in list(outputs.keys()):

@@ -124,6 +124,13 @@ class DepthAnything(nn.Module):
     # three full-resolution resizes saves most of the output bandwidth).
     # None preserves the reference's full output contract.
     output_scales: Optional[Sequence[int]] = None
+    # Serving knob: skip the final resize-to-input-size entirely and return
+    # the decoder-resolution disparity maps (e.g. 28x30 for a 448x480
+    # input).  The caller upsamples on HOST (ops/resize.py numpy twin) —
+    # shipping the coarse map instead of the full-resolution one cuts
+    # device->host bytes ~300x, which is the serving bottleneck through a
+    # tunneled runtime (see inference.MarsDepthEstimator host_upsample).
+    resize_outputs: bool = True
 
     @nn.compact
     def __call__(self, x, disp_scale=None, train: bool = False):
@@ -169,7 +176,8 @@ class DepthAnything(nn.Module):
         for key, v in outputs.items():
             if self.output_scales is not None and key[1] not in self.output_scales:
                 continue
-            if key[0] == "disp" and v.shape[1:3] != original_size:
+            if (self.resize_outputs and key[0] == "disp"
+                    and v.shape[1:3] != original_size):
                 v = resize_bilinear(v, original_size, align_corners=False)
             resized[key] = v
         return resized

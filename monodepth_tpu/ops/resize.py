@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize_bilinear", "resize_nearest", "upsample2x_nearest"]
+__all__ = ["resize_bilinear", "resize_bilinear_np", "resize_nearest",
+           "upsample2x_nearest"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -145,6 +146,31 @@ def resize_bilinear(x, size, align_corners: bool = False, method: str = "matmul"
 
     x = _resize_axis_linear(x, in_h, out_h, h_axis, align_corners, pick(in_h, out_h))
     x = _resize_axis_linear(x, in_w, out_w, w_axis, align_corners, pick(in_w, out_w))
+    return x
+
+
+def resize_bilinear_np(x: np.ndarray, size,
+                       align_corners: bool = False) -> np.ndarray:
+    """HOST (pure numpy, f32) twin of `resize_bilinear`.
+
+    Same separable two-tap resampling tables (`_linear_resize_matrix`), so
+    it matches the device matmul path up to f32 summation order.  Used by
+    the serving host-upsample path (inference.MarsDepthEstimator): the
+    device returns the decoder-resolution disparity and this upsamples it
+    on host in f32 — numerically at least as precise as the device's
+    dtype-following (bf16 on the perf path) resize, at ~8 MFLOP/image.
+
+    Accepts NHWC / HWC / HW float arrays; returns float32.
+    """
+    h_axis, w_axis = _axis_for(x)
+    out_h, out_w = int(size[0]), int(size[1])
+    x = np.asarray(x, dtype=np.float32)
+    for axis, in_s, out_s in ((h_axis, x.shape[h_axis], out_h),
+                              (w_axis, x.shape[w_axis], out_w)):
+        if in_s == out_s:
+            continue
+        W = _linear_resize_matrix(in_s, out_s, align_corners)
+        x = np.moveaxis(np.tensordot(x, W, axes=[[axis], [1]]), -1, axis)
     return x
 
 

@@ -130,3 +130,83 @@ def test_estimator_tta_matches_manual_blend(rng):
     np.testing.assert_allclose(got["disp"], want, atol=2e-5)
     np.testing.assert_allclose(got["depth"], 1.0 / np.clip(want, 1e-6, None),
                                rtol=1e-4)
+
+
+def test_host_upsample_matches_device_path(rng):
+    """host_upsample=True (coarse fetch + f32 host resample, the serving
+    default) must match the device full-resolution path.  f32 mode: both
+    paths resample in f32 through the SAME two-tap tables, so the only
+    difference is summation order."""
+    dev = MarsDepthEstimator(ModelConfig(pretrained=False), seed=5)
+    host = MarsDepthEstimator(
+        ModelConfig(pretrained=False, host_upsample=True), seed=5)
+    imgs = rng.random((2, 48, 64, 3), dtype=np.float32)
+    metas = [{"source": "rover"}, {"source": "satellite"}]
+
+    want = dev.predict_batch(imgs, metas)
+    got = host.predict_batch(imgs, metas)
+    assert got["disp"].shape == want["disp"].shape == (2, 48, 64)
+    np.testing.assert_allclose(got["disp"], want["disp"], atol=1e-5)
+    np.testing.assert_allclose(got["depth"], want["depth"], rtol=1e-4)
+
+    # single-image path shares the epilogue
+    one = host.predict(imgs[0], metas[0])
+    np.testing.assert_allclose(one["disp"], got["disp"][0], atol=1e-6)
+
+
+def test_host_upsample_enhanced_uncertainty(rng):
+    """Enhanced + host_upsample serves the upsampled uncertainty map too."""
+    dev = MarsDepthEstimator(
+        ModelConfig(enhanced=True, pretrained=False), seed=7)
+    host = MarsDepthEstimator(
+        ModelConfig(enhanced=True, pretrained=False, host_upsample=True),
+        seed=7)
+    img = rng.random((48, 48, 3), dtype=np.float32)
+    want = dev.predict(img)
+    got = host.predict(img)
+    assert got["uncertainty"].shape == (48, 48)
+    np.testing.assert_allclose(got["disp"], want["disp"], atol=1e-5)
+    np.testing.assert_allclose(got["uncertainty"], want["uncertainty"],
+                               atol=1e-5)
+
+
+def test_host_upsample_rejects_return_all(rng):
+    host = MarsDepthEstimator(
+        ModelConfig(pretrained=False, host_upsample=True))
+    img = rng.random((32, 32, 3), dtype=np.float32)
+    with pytest.raises(ValueError, match="return_all"):
+        host.predict(img, return_all=True)
+    with pytest.raises(ValueError, match="return_all"):
+        host.predict_batch(img[None], return_all=True)
+
+
+def test_resize_bilinear_np_matches_device():
+    """The numpy host resample equals the jnp matmul path (shared tables)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.ops.resize import resize_bilinear, resize_bilinear_np
+
+    r = np.random.default_rng(11)
+    x = r.random((2, 7, 9, 1), dtype=np.float32)
+    for ac in (False, True):
+        want = np.asarray(resize_bilinear(jnp.asarray(x), (30, 41),
+                                          align_corners=ac))
+        got = resize_bilinear_np(x, (30, 41), align_corners=ac)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # HWC and HW layouts
+    np.testing.assert_allclose(
+        resize_bilinear_np(x[0], (14, 18)),
+        np.asarray(resize_bilinear(jnp.asarray(x[0]), (14, 18))), atol=1e-6)
+
+
+def test_uint8_feed_matches_float_path(estimator, rng):
+    """uint8 batches normalize ON DEVICE (f32/255 inside jit) — within a
+    float32 ULP of the host preprocess_image division (XLA may emit a
+    reciprocal multiply), at 1/4 the upload bytes."""
+    u8 = (rng.random((2, 48, 64, 3)) * 255).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    got = estimator.predict_batch(u8)
+    want = estimator.predict_batch(f32)
+    np.testing.assert_allclose(got["disp"], want["disp"], rtol=1e-5)
+    one = estimator.predict(u8[0])
+    np.testing.assert_allclose(one["disp"], got["disp"][0], rtol=1e-6)

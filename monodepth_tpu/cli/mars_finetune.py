@@ -78,6 +78,13 @@ def parse_args(argv=None):
                         "'sequence' = the full monodepth2 objective on real "
                         "consecutive-frame pairs with a jointly trained "
                         "PoseNet and automasking (models/pose.py)")
+    p.add_argument("--min_pairs", type=int, default=4,
+                   help="Sequence mode: abort when the train split yields "
+                        "fewer (target, source) frame pairs than this — a "
+                        "degenerate pairing (non-sequential folder) would "
+                        "otherwise train on noise.  Pair statistics are "
+                        "always printed; curate pairs with "
+                        "monodepth_tpu.cli.make_sequence_pairs")
     p.add_argument("--multi_scale_loss", action="store_true",
                    help="monodepth2 multi-scale supervision: average the "
                         "objective over all 4 decoder scales (smoothness "
@@ -129,6 +136,32 @@ def ensure_dataset(args) -> None:
     print(f"Wrote {n} synthetic images under {args.data_dir}")
 
 
+def report_sequence_pairs(args) -> None:
+    """Sequence-mode sanity report (VERDICT r3 item 7): how many (target,
+    source) pairs each split actually yields, and from which pairing rule.
+    Aborts below --min_pairs — 0-3 pairs means the folder is not a frame
+    sequence and the monodepth2 objective would memorize noise."""
+    from monodepth_tpu.data.pairing import pair_statistics
+
+    sources = (("rover", "satellite", "ingenuity")
+               if args.source_type in (None, "mixed") else (args.source_type,))
+    report = pair_statistics(args.data_dir, sources=sources)
+    train_pairs = 0
+    for key, row in sorted(report.items()):
+        print(f"  sequence pairs {key}: {row['pairs']} "
+              f"(from {row['frames']} frames, {row['pairing']} pairing)")
+        if key.endswith("/train"):
+            train_pairs += row["pairs"]
+    if train_pairs < args.min_pairs:
+        raise SystemExit(
+            f"sequence mode: only {train_pairs} train pair(s) under "
+            f"{args.data_dir} (< --min_pairs {args.min_pairs}).  The folder "
+            f"does not look like a frame sequence; curate pairs with\n"
+            f"  python -m monodepth_tpu.cli.make_sequence_pairs --frames "
+            f"<frames_root> --out {args.data_dir}\n"
+            f"or fall back to --loss_mode photometric.")
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -138,6 +171,8 @@ def main(argv=None):
 
     initialize()
     ensure_dataset(args)
+    if args.loss_mode == "sequence":
+        report_sequence_pairs(args)
 
     cfg = TrainConfig(
         model=ModelConfig(enhanced=args.enhanced_model, dtype=args.dtype,

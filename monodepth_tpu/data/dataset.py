@@ -197,12 +197,16 @@ class MarsSequenceDataset(MarsImageDataset):
     """Consecutive-frame pairs for sequence self-supervision
     (TrainConfig.loss_mode='sequence').
 
-    Pairing rule: within each `{data_path}/{source}/{split}` directory,
-    sorted filename order is treated as temporal order (the convention of
-    rover/ingenuity frame dumps) and frames `i` and `i + stride` form one
-    (target, source) pair.  Items are {'image': [H, W, 6] float32 — target
-    and source stacked on channels, the monodepth2 pose-net input layout —
-    'metadata': the TARGET frame's metadata}.
+    Pairing rule: a directory with a curated `pairs.json` manifest
+    (data/pairing.py — written by `build_pair_manifest` / the
+    `make_sequence_pairs` CLI, gating pairs on timestamp gap + visual
+    correlation) uses exactly those (target, source) pairs.  Otherwise,
+    within each `{data_path}/{source}/{split}` directory, sorted filename
+    order is treated as temporal order (the convention of rover/ingenuity
+    frame dumps) and frames `i` and `i + stride` form one (target, source)
+    pair.  Items are {'image': [H, W, 6] float32 — target and source
+    stacked on channels, the monodepth2 pose-net input layout — 'metadata':
+    the TARGET frame's metadata}.
 
     Both frames receive the IDENTICAL augmentation draw (same jitter, same
     flip): the photometric loss compares the two frames, so independent
@@ -212,15 +216,28 @@ class MarsSequenceDataset(MarsImageDataset):
     def __init__(self, *args, stride: int = 1, **kwargs):
         super().__init__(*args, **kwargs)
         assert stride >= 1
-        frames = self.samples
+        from monodepth_tpu.data.pairing import load_pair_manifest
+
+        by_dir: Dict[str, List[Dict]] = {}
+        for s in self.samples:
+            by_dir.setdefault(os.path.dirname(s["path"]), []).append(s)
+
         self.samples = []
-        for i in range(len(frames) - stride):
-            a, b = frames[i], frames[i + stride]
-            if os.path.dirname(a["path"]) != os.path.dirname(b["path"]):
-                continue  # never pair across source/split directories
-            item = dict(a)
-            item["source_path"] = b["path"]
-            self.samples.append(item)
+        for d, frames in by_dir.items():
+            manifest = load_pair_manifest(d)
+            if manifest is not None:
+                by_name = {os.path.basename(s["path"]): s for s in frames}
+                for tgt, src in manifest:
+                    if tgt not in by_name or src not in by_name:
+                        continue
+                    item = dict(by_name[tgt])
+                    item["source_path"] = by_name[src]["path"]
+                    self.samples.append(item)
+                continue
+            for a, b in zip(frames, frames[stride:]):
+                item = dict(a)
+                item["source_path"] = b["path"]
+                self.samples.append(item)
 
     def _load_path(self, path: str) -> np.ndarray:
         img = Image.open(path).convert("RGB")
@@ -536,7 +553,11 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
     `sequence=True` yields consecutive-frame pairs ([H, W, 6] items,
     MarsSequenceDataset) for loss_mode='sequence'.
     """
-    if source_type is not None and source_type != "mixed":
+    if source_type == "mixed":
+        # the reference adapter's 'mixed' convention (mars_adapter.py:42)
+        # means every source, including ingenuity
+        sources = ("rover", "satellite", "ingenuity")
+    elif source_type is not None:
         sources = (source_type,)
     ds_cls = MarsSequenceDataset if sequence else MarsImageDataset
     loaders = {}

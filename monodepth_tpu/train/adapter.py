@@ -258,6 +258,7 @@ class MarsDomainAdapter:
             tr, va, _ = get_mars_dataloaders(
                 cfg.data_dir, cfg.batch_size, cfg.height, cfg.width,
                 prefetch=2, seed=cfg.seed,
+                source_type=cfg.source_type,
                 num_workers=cfg.num_workers,
                 shard_index=process_index(), shard_count=process_count(),
                 backend=cfg.loader_backend,

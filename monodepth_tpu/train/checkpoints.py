@@ -104,12 +104,19 @@ def restore_checkpoint(directory: str, template: Optional[Dict] = None,
 
 
 def restore_params(directory: str, variables_template: Dict) -> Dict:
-    """Restore only model variables (params + batch_stats) for inference."""
+    """Restore only model variables (params + batch_stats) for inference.
+
+    Training-only parameter subtrees are dropped: a `loss_mode='sequence'`
+    checkpoint carries the jointly-trained PoseNet under params['pose']
+    (train/adapter.py), which the depth model's apply does not accept —
+    the template's top-level param keys define what inference loads."""
     state = restore_checkpoint(directory)
     if state is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     out = dict(variables_template)
-    out["params"] = state["params"]
+    template_params = variables_template.get("params", {})
+    out["params"] = {k: v for k, v in state["params"].items()
+                     if not template_params or k in template_params}
     if "batch_stats" in state:
         out["batch_stats"] = state["batch_stats"]
     return out

@@ -354,3 +354,15 @@ def test_prefetch_consumer_early_break_releases_worker(data_root):
     while threading.active_count() > before and _t.time() < deadline:
         _t.sleep(0.05)
     assert threading.active_count() <= before + 1
+
+
+def test_dataloaders_respect_source_type(data_root):
+    """TrainConfig.source_type reaches the dataset walk (was silently
+    dropped by the adapter before round 4): 'rover' loads only rover
+    frames; 'mixed' means every source (reference mars_adapter.py:42)."""
+    tr, _, _ = get_mars_dataloaders(data_root, batch_size=2, height=32,
+                                    width=48, source_type="rover")
+    assert all(s["source"] == "rover" for s in tr.dataset.samples)
+    tr_mixed, _, _ = get_mars_dataloaders(data_root, batch_size=2, height=32,
+                                          width=48, source_type="mixed")
+    assert {s["source"] for s in tr_mixed.dataset.samples} == {"rover", "satellite"}

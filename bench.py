@@ -10,14 +10,20 @@ own, BASELINE.md).
 native-resolution quality mode and writes them to BENCH_CONFIGS.json
 (progress on stderr; stdout stays the single headline JSON line):
 
-  1. standard model, single rover-style image @384
-  2. batched folder inference @1024 (the headline)
-  3. enhanced model (self-attention + uncertainty)
-  4. multi-scale fusion + texture-aware refinement pass
-  5. Mars fine-tune loop (384x512, batch 8) — steps/s and img/s
-  6. native-resolution mode @1024 (4096 tokens, flash attention)
-  7. HTTP serving end-to-end @512 (PNG decode -> micro-batched device
-     forward -> raw f32 response, 16 concurrent clients, one host)
+  1.  standard model, single rover-style image @384 (median of 3)
+  2.  batched folder inference @1024 (the headline)
+  3.  enhanced model (self-attention + uncertainty)
+  4.  multi-scale fusion + texture-aware refinement pass
+  5.  Mars fine-tune loop (384x512, batch 8) — steps/s and img/s
+  6.  native-resolution mode @1024 (4096 tokens, flash attention)
+  6b. enhanced + native-resolution @1024 (spatial attention blocks)
+  6c. int8 serving knob (quantize='int8'), standard @1024
+  7.  HTTP serving end-to-end @512 (PNG decode -> micro-batched device
+      forward -> raw f32 response, 16 concurrent clients, one host;
+      median of 3)
+
+Regression gating: per-config tolerances in TOLERANCES (noisy protocols
+get wider bounds), default 15%.
 
 Measurement protocol (see monodepth_tpu/utils/profiling.py): the remote-
 execution tunnel used in this environment resolves `block_until_ready`
@@ -106,14 +112,16 @@ def bench_standard(batch, size, repeats, **model_kw):
     return _pipelined_img_per_s(fwd, variables, xs, batch, repeats)
 
 
-def bench_enhanced(batch, size, repeats):
+def bench_enhanced(batch, size, repeats, **model_kw):
     import jax
     import jax.numpy as jnp
 
     from monodepth_tpu.models import EnhancedDepthAnything
 
-    model = EnhancedDepthAnything(dtype=jnp.bfloat16, seq_pad_multiple=16,
-                                  light_outputs=True)
+    model = EnhancedDepthAnything(dtype=jnp.bfloat16,
+                                  seq_pad_multiple=model_kw.pop(
+                                      "seq_pad_multiple", 16),
+                                  light_outputs=True, **model_kw)
     xs = _stage_inputs(batch, size)
     variables = model.init(jax.random.PRNGKey(0), xs[0][:1])
 
@@ -204,13 +212,31 @@ def bench_finetune(batch, height, width, steps):
     return steps / dt, steps * batch / dt
 
 
-def compare_results(new, old, tolerance=0.15):
+# Per-config regression tolerances (VERDICT r3 weak-5): the default 15% is
+# the measured shared-chip run-to-run variance of the large pipelined
+# device-path configs; configs with inherently noisier protocols get their
+# own bound, derived from observed cross-capture spreads:
+#   - config 1 (batch-1 @384): latency-bound dispatch at the mercy of relay
+#     weather; already median-of-3, still ±~20% across captures.
+#   - config 7 (HTTP serving): host threads + OS scheduler + socket stack;
+#     observed ~±40% single-run swings (2.3->4.4 baseline drift, 7->11.7
+#     best-vs-captured).  Median-of-3 narrows it; the gate stays wide so it
+#     flags collapses (e.g. batching broken -> 2 img/s), not weather.
+TOLERANCES = {
+    "1_single_image_384px_standard": 0.25,
+    "7_http_serving_512px": 0.40,
+    "7b_http_serving_512px_jpeg": 0.40,
+}
+DEFAULT_TOLERANCE = 0.15
+
+
+def compare_results(new, old, tolerance=DEFAULT_TOLERANCE):
     """Compare two BENCH_CONFIGS.json result lists; return regressions.
 
-    A regression is a config whose throughput dropped by more than
-    `tolerance` (default 15% — the measured shared-chip run-to-run
-    variance).  Configs are matched by their "config" key; missing configs
-    in either list are ignored (new configs are not regressions).
+    A regression is a config whose throughput dropped by more than its
+    tolerance (TOLERANCES.get(config, `tolerance`)).  Configs are matched
+    by their "config" key; missing configs in either list are ignored (new
+    configs are not regressions).
     """
     old_by_config = {r["config"]: r for r in old if "config" in r}
     regressions = []
@@ -221,15 +247,17 @@ def compare_results(new, old, tolerance=0.15):
         was, now = prev.get("value"), r.get("value")
         if not was or not now:
             continue
-        if now < was * (1.0 - tolerance):
+        tol = TOLERANCES.get(r["config"], tolerance)
+        if now < was * (1.0 - tol):
             regressions.append({
                 "config": r["config"], "was": was, "now": now,
                 "drop_pct": round(100.0 * (1.0 - now / was), 1),
+                "tolerance_pct": round(100.0 * tol, 1),
             })
     return regressions
 
 
-def check_regressions(results, path, tolerance=0.15):
+def check_regressions(results, path, tolerance=DEFAULT_TOLERANCE):
     """Compare `results` against the previous BENCH_CONFIGS.json at `path`
     (before it is overwritten).  Returns regressions; logs them loudly."""
     if not os.path.exists(path):
@@ -243,29 +271,58 @@ def check_regressions(results, path, tolerance=0.15):
     regressions = compare_results(results, old, tolerance)
     for r in regressions:
         _log(f"[bench] REGRESSION {r['config']}: {r['was']} -> {r['now']} "
-             f"(-{r['drop_pct']}%, tolerance {tolerance:.0%})")
+             f"(-{r['drop_pct']}%, tolerance {r['tolerance_pct']:.0f}%)")
     if not regressions:
         _log(f"[bench] no regressions vs previous {path} "
-             f"(tolerance {tolerance:.0%})")
+             f"(default tolerance {tolerance:.0%}, per-config TOLERANCES)")
     return regressions
 
 
+def _serving_payload(size, payload_format):
+    """Request body for the serving bench: a REAL Mars rover frame resized
+    to `size` (photo statistics — a random-noise image neither PNG- nor
+    JPEG-compresses, overstating the upload wall), synthetic fallback when
+    the reference corpus is absent.  Returns (bytes, description)."""
+    import glob
+    import io
+
+    from PIL import Image
+
+    paths = sorted(glob.glob("/root/reference/assets/rover/*.png"))
+    if paths:
+        img = Image.open(paths[0]).convert("RGB").resize(
+            (size, size), Image.LANCZOS)
+        desc = "real rover frame"
+    else:  # pragma: no cover - env-dependent
+        rng = np.random.default_rng(0)
+        img = Image.fromarray(
+            (rng.random((size, size, 3)) * 255).astype(np.uint8))
+        desc = "synthetic frame"
+    buf = io.BytesIO()
+    if payload_format == "jpeg":
+        img.save(buf, format="JPEG", quality=90)
+    else:
+        img.save(buf, format="PNG")
+    data = buf.getvalue()
+    return data, f"{desc}, {payload_format} {len(data) / 1e3:.0f} kB"
+
+
 def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
-                  estimator=None):
-    """End-to-end HTTP serving throughput: PNG bytes in -> raw f32 depth
+                  estimator=None, payload_format="png"):
+    """End-to-end HTTP serving throughput: image bytes in -> raw f32 depth
     out, through the micro-batched server with concurrent clients.
 
     Unlike configs 1-6 (device-path numbers), this is the whole production
-    path on one host: HTTP parse, PNG decode, resize, batch coalescing +
-    bucket padding, device forward, f32 serialization.  `estimator=None`
-    builds the real bf16 standard model (tests inject a stub).
-    Returns (images/sec, service stats dict).
+    path on one host: HTTP parse, image decode, resize, batch coalescing +
+    bucket padding, device forward, f32 serialization.  Clients hold ONE
+    persistent HTTP/1.1 connection each (keep-alive — per-request TCP
+    setup was pure client-side artifact).  `payload_format` 'png' or
+    'jpeg' ('jpeg' ships ~10x fewer bytes for photo content; the server
+    decodes both).  `estimator=None` builds the real bf16 standard model
+    (tests inject a stub).  Returns (images/sec, service stats dict).
     """
-    import io
+    import http.client
     import threading
-    import urllib.request
-
-    from PIL import Image
 
     from monodepth_tpu.cli.serve import serve_in_thread
     from monodepth_tpu.serve import DepthService
@@ -288,20 +345,21 @@ def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
         estimator.predict_batch(np.zeros((b, size, size, 3), np.uint8))
     server, port = serve_in_thread(service, model_desc="bench")
     try:
-        rng = np.random.default_rng(0)
-        buf = io.BytesIO()
-        Image.fromarray((rng.random((size, size, 3)) * 255)
-                        .astype(np.uint8)).save(buf, format="PNG")
-        payload = buf.getvalue()
-        url = (f"http://127.0.0.1:{port}/predict"
-               f"?source=rover&max_size={size}")
+        payload, payload_desc = _serving_payload(size, payload_format)
+        _log(f"[bench serving] payload: {payload_desc}")
+        path_qs = f"/predict?source=rover&max_size={size}"
 
         def post_n(n):
-            for _ in range(n):
-                req = urllib.request.Request(url, data=payload,
-                                             method="POST")
-                with urllib.request.urlopen(req, timeout=600) as r:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            try:
+                for _ in range(n):
+                    conn.request("POST", path_qs, body=payload)
+                    r = conn.getresponse()
                     r.read()
+                    if r.status != 200:
+                        raise RuntimeError(f"HTTP {r.status}")
+            finally:
+                conn.close()
 
         post_n(2)  # HTTP-path warmup (device shapes are already compiled)
         per = max(total_requests // clients, 1)
@@ -391,17 +449,68 @@ def run_all(headline_value, batch, size, repeats):
     except Exception as e:  # pragma: no cover - env-dependent
         _log(f"[bench --all] native mode failed: {e}")
 
-    _log("[bench --all] config 7: HTTP serving end-to-end @512, 16 clients ...")
+    _log("[bench --all] config 6b: enhanced + native-resolution @1024, batch 4 ...")
     try:
-        v, stats = bench_serving()
+        v = bench_enhanced(4, size, max(repeats // 3, 5),
+                           native_patching=True, attn_impl="pallas",
+                           attn_window=16, seq_pad_multiple=1)
         results.append({
-            "config": "7_http_serving_512px",
-            "metric": "images/sec end-to-end, micro-batched HTTP serving "
-                      "(PNG decode + batch coalescing + device + f32 "
-                      "response), 512px, 16 concurrent clients, 1 host",
-            "value": round(v, 2), "unit": "images/sec",
-            "mean_batch_size": stats.get("mean_batch_size"),
-            "vs_baseline": None})
+            "config": "6b_enhanced_native_1024px",
+            "metric": "images/sec/chip, enhanced native-resolution bf16 "
+                      "(4096 tokens, window 16, spatial attention blocks), "
+                      "1024px, batch 4",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / NORTH_STAR, 3)})
+    except Exception as e:  # pragma: no cover - env-dependent
+        _log(f"[bench --all] enhanced-native mode failed: {e}")
+
+    _log("[bench --all] config 6c: int8 serving knob, standard @1024, batch 32 ...")
+    try:
+        v = bench_standard(batch, size, repeats, quantize="int8")
+        results.append({
+            "config": "6c_int8_1024px",
+            "metric": "images/sec/chip, standard int8-quantized ViT matmuls "
+                      "(serving knob, ModelConfig.quantize='int8'), 1024px, "
+                      "batch 32",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / NORTH_STAR, 3)})
+    except Exception as e:  # pragma: no cover - env-dependent
+        _log(f"[bench --all] int8 mode failed: {e}")
+
+    _log("[bench --all] config 7: HTTP serving end-to-end @512, 16 clients, "
+         "median of 3 ...")
+    try:
+        # median-of-3 (VERDICT r3 weak-1): the serving number's run-to-run
+        # variance dwarfs a single draw.  One estimator serves all three
+        # runs so device programs compile once and the repeats time only
+        # the serving path.
+        from monodepth_tpu.config import ModelConfig
+        from monodepth_tpu.inference import MarsDepthEstimator
+
+        est = MarsDepthEstimator(ModelConfig(
+            dtype="bfloat16", pretrained=False, host_upsample=True))
+        for fmt, config_name in (("png", "7_http_serving_512px"),
+                                 ("jpeg", "7b_http_serving_512px_jpeg")):
+            runs, stats_runs = [], []
+            for _ in range(3):
+                v, stats = bench_serving(estimator=est, payload_format=fmt)
+                runs.append(v)
+                stats_runs.append(stats)
+            order = int(np.argsort(runs)[len(runs) // 2])
+            v, stats = runs[order], stats_runs[order]
+            _log(f"[bench --all] serving runs ({fmt}): "
+                 f"{[round(r, 2) for r in runs]} -> median {v:.2f}")
+            results.append({
+                "config": config_name,
+                "metric": f"images/sec end-to-end, micro-batched HTTP "
+                          f"serving ({fmt} upload of a real rover frame + "
+                          f"decode + batch coalescing + device + f32 "
+                          f"response), 512px, 16 keep-alive clients, "
+                          f"1 host, median of 3 runs",
+                "value": round(v, 2), "unit": "images/sec",
+                "runs": [round(r, 2) for r in sorted(runs)],
+                "mean_batch_size": stats.get("mean_batch_size"),
+                "vs_baseline": None})
     except Exception as e:  # pragma: no cover - env-dependent
         _log(f"[bench --all] serving bench failed: {e}")
 

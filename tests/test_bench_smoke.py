@@ -91,3 +91,26 @@ def test_bench_serving_end_to_end_with_stub():
     # warmup covered every bucket the batcher can pad to
     for b in (1, 2, 4):
         assert (b, 32, 32, 3) in calls
+
+
+def test_bench_per_config_tolerances():
+    """Noisy configs (serving, batch-1 latency) gate at their own wider
+    tolerance (bench.TOLERANCES) instead of the flat 15%."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    old = [
+        {"config": "7_http_serving_512px", "value": 10.0},
+        {"config": "1_single_image_384px_standard", "value": 100.0},
+    ]
+    # -30%: within the serving config's 40% band, outside the default 15%
+    new = [
+        {"config": "7_http_serving_512px", "value": 7.0},
+        {"config": "1_single_image_384px_standard", "value": 80.0},  # -20% < 25%
+    ]
+    assert bench.compare_results(new, old) == []
+    # a genuine serving collapse (-50%) still flags
+    new[0]["value"] = 5.0
+    regs = bench.compare_results(new, old)
+    assert [r["config"] for r in regs] == ["7_http_serving_512px"]
+    assert regs[0]["tolerance_pct"] == 40.0

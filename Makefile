@@ -13,6 +13,11 @@ test-all:
 test-fast:
 	python -m pytest tests/ -q -x -k "not parity and not training and not parallel"
 
+# Curated <=5-min tier: one high-value test per subsystem (incl. literal
+# parity, mesh equality, CLI e2e) — see tests/conftest.py SMOKE_TESTS.
+test-smoke:
+	python -m pytest tests/ -q -m smoke
+
 bench:
 	python bench.py
 

@@ -14,7 +14,9 @@ is not meaningful — but *relative agreement between modes under shared
 random weights* bounds how much the attention approximations perturb the
 function the network computes, which is the claim to quantify.
 
-Usage: python scripts/dev_mode_quality.py [per_source] [max_size]
+Usage: python scripts/dev_mode_quality.py [per_source] [max_size] [ckpt]
+With a third arg (Orbax dir or .pth), all modes share the TRAINED weights
+instead of a random init — the real evidence for the windowed/SRA knobs.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ def main():
 
     per_source = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     max_size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    ckpt = sys.argv[3] if len(sys.argv) > 3 else None
 
     paths = []
     for source in ("rover", "satellite", "ingenuity"):
@@ -45,18 +48,24 @@ def main():
     images = [load_image(p, max_size) for p in paths]
 
     modes = {
-        "parity_224": ModelConfig(pretrained=False, dtype="bfloat16"),
+        "parity_224": ModelConfig(pretrained=False, dtype="bfloat16",
+                                  checkpoint=ckpt),
         "native_global": ModelConfig(pretrained=False, dtype="bfloat16",
+                                     checkpoint=ckpt,
                                      native_patching=True, attn_window=0,
                                      seq_pad_multiple=1),
         "native_win16": ModelConfig(pretrained=False, dtype="bfloat16",
+                                    checkpoint=ckpt,
                                     native_patching=True, attn_window=16,
                                     seq_pad_multiple=1),
         "native_win16_sra2": ModelConfig(pretrained=False, dtype="bfloat16",
+                                         checkpoint=ckpt,
                                          native_patching=True, attn_window=16,
                                          attn_global_pool=2,
                                          seq_pad_multiple=1),
     }
+    print(f"weights: {'TRAINED ' + ckpt if ckpt else 'random init (seed 0)'}",
+          flush=True)
 
     evaluator = MarsTerrainEvaluator()
     disp_by_mode = {}
@@ -64,7 +73,7 @@ def main():
     for name, cfg in modes.items():
         est = MarsDepthEstimator(cfg, seed=0)
         if shared is None:
-            shared = est.variables  # same seed -> same params; keep one copy
+            shared = est.variables  # same seed/ckpt -> same params; keep one
         else:
             est.variables = shared
         disps, proxies = [], []
@@ -93,7 +102,8 @@ def main():
                   f"{np.mean(diffs):.4f}, pearson r {np.mean(corrs):.4f}",
                   flush=True)
 
-    print(json.dumps({"images": len(images), "max_size": max_size}))
+    print(json.dumps({"images": len(images), "max_size": max_size,
+                      "ckpt": ckpt}))
 
 
 if __name__ == "__main__":

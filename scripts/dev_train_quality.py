@@ -57,54 +57,14 @@ def parse_args():
     return p.parse_args()
 
 
-def load_eval_images(args):
-    """Held-out real assets at exactly the train (H, W)."""
-    from PIL import Image
-
-    paths = []
-    for source in ("rover", "satellite", "ingenuity"):
-        paths.extend(sorted(glob.glob(
-            f"/root/reference/assets/{source}/*.png"))[-args.eval_per_source:])
-    assert paths, "no assets found"
-    out = []
-    for p in paths:
-        img = Image.open(p).convert("RGB").resize(
-            (args.width, args.height), Image.LANCZOS)
-        out.append(np.asarray(img, dtype=np.float32) / 255.0)
-    return np.stack(out)
-
-
 def make_scorer(adapter, eval_images):
-    import jax
-    import jax.numpy as jnp
-
-    from monodepth_tpu.layers import disp_to_depth
-    from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator
-
-    model = adapter.model
-    evaluator = MarsTerrainEvaluator()
-    batch = jnp.asarray(eval_images)
-
-    @jax.jit
-    def fwd(variables, x):
-        return model.apply(variables, x, 1.0)[("disp", 0)]
+    from monodepth_tpu.utils.quality import score_depth_model
 
     def score():
-        params = {k: v for k, v in adapter.params.items() if k != "pose"}
-        variables = {"params": params, "batch_stats": adapter.batch_stats}
-        disp = np.asarray(fwd(variables, batch))
-        disp_f = np.asarray(fwd(variables, batch[:, :, ::-1, :]))
-        flip_inc = float(np.mean(np.abs(disp - disp_f[:, :, ::-1, :]))
-                         / max(float(np.mean(disp)), 1e-9))
-        _, depth = disp_to_depth(jnp.asarray(disp), 0.1, 100.0)
-        proxies = []
-        for i in range(len(eval_images)):
-            m = evaluator.compute_proxy_metrics(
-                np.asarray(depth[i, ..., 0]), eval_images[i])
-            proxies.append(m["edge_score"] + m["detail_score"]
-                           - 2.0 * m["noise_score"])
-        return {"flip_inconsistency": flip_inc,
-                "proxy_score": float(np.mean(proxies))}
+        return score_depth_model(
+            adapter.model,
+            {"params": adapter.params, "batch_stats": adapter.batch_stats},
+            eval_images)
 
     return score
 
@@ -135,8 +95,11 @@ def main():
         checkpoint_dir="",
         num_workers=2,
     )
+    from monodepth_tpu.utils.quality import load_heldout_assets
+
     adapter = MarsDomainAdapter(cfg)
-    eval_images = load_eval_images(args)
+    eval_images = load_heldout_assets(args.height, args.width,
+                                      per_source=args.eval_per_source)
     score = make_scorer(adapter, eval_images)
 
     before = score()

@@ -86,10 +86,12 @@ def test_entry_compiles():
 
 
 def test_dryrun_multichip_four_devices():
-    """Odd mesh factorization path (4 devices -> data:2 x model:2)."""
+    """Odd mesh factorization path (4 devices -> data:2 x model:2).
+    One cheap leg at a small shape — the full 4-leg real-shape run is
+    test_dryrun_multichip_entrypoint's job."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(4)
+    ge.dryrun_multichip(4, legs=("standard",), standard_shape=(96, 128))
 
 
 def test_sharded_enhanced_forward_matches_single_device(rng):

@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--per_source", type=int, default=2)
     p.add_argument("--max_size", type=int, default=512)
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a jax platform (e.g. 'cpu' to shake the "
+                        "harness out without touching the TPU grant)")
     return p.parse_args(argv)
 
 
@@ -66,6 +69,10 @@ def run_variant(cfg, images, evaluator):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import glob
 

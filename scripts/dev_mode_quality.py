@@ -32,6 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if "--cpu" in sys.argv:  # shake out without touching the TPU grant
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from monodepth_tpu.config import ModelConfig
     from monodepth_tpu.inference import MarsDepthEstimator, load_image
     from monodepth_tpu.utils.evaluation import MarsTerrainEvaluator

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--assets", type=str, default="/root/reference/assets")
     p.add_argument("--no_random_baseline", action="store_true",
                    help="Skip the random-init comparison column")
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a jax platform (e.g. 'cpu' to shake the "
+                        "harness out without touching the TPU grant)")
     return p.parse_args(argv)
 
 
@@ -52,6 +55,10 @@ def build_estimator(args, checkpoint):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from monodepth_tpu.utils.quality import (
         load_heldout_assets, score_depth_model,

@@ -36,6 +36,12 @@ def parse_args(argv=None):
                    dest="scheduler_step_size", type=int, default=15)
     p.add_argument("--scheduler_gamma", "--lr_scheduler_gamma",
                    dest="scheduler_gamma", type=float, default=0.5)
+    p.add_argument("--encoder_lr_factor", type=float, default=0.1,
+                   help="Encoder LR = learning_rate * this (reference "
+                        "mars_adapter.py:49-55 hard-codes 0.1, tuned for "
+                        "fine-tuning a pretrained encoder; raise toward 1.0 "
+                        "when training from random init, where a 10x-slower "
+                        "encoder never learns features)")
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--depth_weight", "--depth_loss_weight",
@@ -117,6 +123,9 @@ def parse_args(argv=None):
     p.add_argument("--visualize_val", action="store_true",
                    help="Save validation depth visualizations after training "
                         "(reference mars_finetune.py:219-244)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a jax platform (e.g. 'cpu' to shake a config "
+                        "out without touching the TPU grant)")
     return p.parse_args(argv)
 
 
@@ -164,6 +173,10 @@ def report_sequence_pairs(args) -> None:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     # Multi-host pods: no-op single-host; reads JAX_COORDINATOR_ADDRESS /
     # JAX_NUM_PROCESSES / JAX_PROCESS_ID when launched per-host.
@@ -183,6 +196,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
         learning_rate=args.learning_rate,
+        encoder_lr_factor=args.encoder_lr_factor,
         scheduler_step_size=args.scheduler_step_size,
         scheduler_gamma=args.scheduler_gamma,
         height=args.height,

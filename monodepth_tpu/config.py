@@ -54,6 +54,13 @@ class ModelConfig:
     # Serving-only; checkpoints are unchanged (quantization happens inside
     # jit from the f32 params).  Accuracy bounds: tests/test_quant.py.
     quantize: str = ""
+    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion in the ViT MLP
+    # (models/vit.py MlpBlock -> ops/pallas/matmul.py).  'fused' keeps the
+    # torch-parity exact-erf GELU with the epilogue on the f32 accumulator
+    # (never less accurate than XLA's bf16 rounding); 'fused_tanh' swaps in
+    # the tanh approximation (quality-gated).  Measured on-chip before any
+    # default change: docs/PERF_STUDY.md §00.
+    mlp_impl: str = "xla"
     # Flip test-time augmentation (monodepth/monodepth2 eval practice):
     # run the forward on the image AND its horizontal mirror, un-mirror,
     # and blend with the Godard post-processing ramp (left/right 5% edges

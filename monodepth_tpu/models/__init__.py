@@ -38,6 +38,7 @@ def build_model(cfg, *, output_scales=None):
         attn_window=cfg.attn_window,
         attn_global_pool=cfg.attn_global_pool,
         quantize=cfg.quantize,
+        mlp_impl=getattr(cfg, "mlp_impl", "xla"),
         remat=cfg.remat,
         vit_variant=cfg.vit_variant,
     )

@@ -113,6 +113,9 @@ class DepthAnythingEncoder(nn.Module):
     attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
+    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion (models/vit.py
+    # MlpBlock; measured lever for the native mode, docs/PERF_STUDY.md §00).
+    mlp_impl: str = "xla"
 
     @property
     def num_ch_enc(self):
@@ -150,6 +153,7 @@ class DepthAnythingEncoder(nn.Module):
             attn_global_pool=(self.attn_global_pool
                               if self.native_patching else 0),
             quantize=self.quantize,
+            mlp_impl=self.mlp_impl,
             name="vit",
         )
 

@@ -151,6 +151,8 @@ class EnhancedDepthAnything(nn.Module):
     attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
+    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion (models/vit.py).
+    mlp_impl: str = "xla"
     # ViT backbone size: 'small' | 'base' (reference parity) | 'large'.
     vit_variant: str = "base"
     # Perf knob: serve only ("disp", 0) / ("uncertainty", 0) / ("depth", 0)
@@ -181,6 +183,7 @@ class EnhancedDepthAnything(nn.Module):
             attn_window=self.attn_window,
             attn_global_pool=self.attn_global_pool,
             quantize=self.quantize,
+            mlp_impl=self.mlp_impl,
             vit_variant=self.vit_variant,
             name="encoder",
         )(x, train=train)

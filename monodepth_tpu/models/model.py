@@ -116,6 +116,8 @@ class DepthAnything(nn.Module):
     attn_global_pool: int = 0
     # '' or 'int8': quantized MXU matmuls in the ViT blocks (serving knob).
     quantize: str = ""
+    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion (models/vit.py).
+    mlp_impl: str = "xla"
     # ViT backbone size: 'small' | 'base' (reference parity) | 'large'
     # (models/encoder.py VIT_VARIANTS).
     vit_variant: str = "base"
@@ -149,6 +151,7 @@ class DepthAnything(nn.Module):
             attn_window=self.attn_window,
             attn_global_pool=self.attn_global_pool,
             quantize=self.quantize,
+            mlp_impl=self.mlp_impl,
             vit_variant=self.vit_variant,
             name="encoder",
         )(x, train=train)

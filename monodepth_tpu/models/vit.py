@@ -50,18 +50,51 @@ def _dense_cls(quantize: str):
     return nn.Dense
 
 
+class FusedDenseGelu(nn.Module):
+    """Drop-in for Dense(name=...) -> nn.gelu via the fused Pallas kernel
+    (ops/pallas/matmul.py): GELU runs in the matmul's f32 epilogue while the
+    block is still in VMEM.  Param tree (kernel/bias, f32 storage) is
+    identical to nn.Dense, so checkpoints and TP rules are unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    gelu_impl: str = "erf"
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from monodepth_tpu.ops.pallas.matmul import fused_dense_gelu
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return fused_dense_gelu(
+            x.astype(self.dtype), kernel, bias, self.gelu_impl,
+            interpret=jax.default_backend() == "cpu")
+
+
 class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
     quantize: str = ""
+    # 'xla' | 'fused' (Pallas matmul + exact-erf GELU epilogue) |
+    # 'fused_tanh' (tanh GELU approximation — quality-gated serving knob)
+    mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         dense = _dense_cls(self.quantize)
-        x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        # torch.nn.GELU default is the exact erf formulation.
-        x = nn.gelu(x, approximate=False)
+        if self.mlp_impl != "xla" and not self.quantize:
+            impl = "tanh" if self.mlp_impl == "fused_tanh" else "erf"
+            x = FusedDenseGelu(self.hidden_dim, dtype=self.dtype,
+                               gelu_impl=impl, name="fc1")(x)
+        else:
+            x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+            # torch.nn.GELU default is the exact erf formulation.
+            x = nn.gelu(x, approximate=False)
         x = dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -77,6 +110,7 @@ class EncoderBlock(nn.Module):
     window: int = 0
     grid_hw: tuple = None
     quantize: str = ""  # '' (off) or 'int8' (quantized MXU matmuls)
+    mlp_impl: str = "xla"  # see MlpBlock
     # Native-mode global blocks only: average-pool the K/V grid tokens by
     # this factor before attention (PVT-style spatial-reduction attention,
     # Wang et al. 2021).  Queries stay full resolution, so the output keeps
@@ -110,7 +144,8 @@ class EncoderBlock(nn.Module):
         # Pre-LN MLP with residual.
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_2")(x)
         y = MlpBlock(self.mlp_dim, dim, dtype=self.dtype,
-                     quantize=self.quantize, name="mlp")(y)
+                     quantize=self.quantize, mlp_impl=self.mlp_impl,
+                     name="mlp")(y)
         return x + y
 
 
@@ -160,6 +195,8 @@ class VisionTransformer(nn.Module):
     # per-token activation scales.  Params stay f32 — checkpoints and TP
     # rules unchanged.  Serving-only knob; accuracy bounds in test_quant.py.
     quantize: str = ""
+    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion (see MlpBlock).
+    mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -266,6 +303,7 @@ class VisionTransformer(nn.Module):
                 global_pool=(self.attn_global_pool
                              if valid_len is None else 0),
                 quantize=self.quantize,
+                mlp_impl=self.mlp_impl,
                 name=f"block_{i}",
             )(x)
             if i in tap_set:

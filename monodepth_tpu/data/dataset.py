@@ -86,6 +86,7 @@ class MarsImageDataset:
         is_train: Optional[bool] = None,
         normalize: bool = True,
         seed: int = 0,
+        cache_decoded: bool = False,
     ):
         self.data_path = data_path
         self.split = split
@@ -94,6 +95,12 @@ class MarsImageDataset:
         self.is_train = (split == "train") if is_train is None else is_train
         self.normalize = normalize
         self._rng = np.random.default_rng(seed)
+        # Small-corpus epochs are decode-bound (the Mars assets are ~2.5 MB
+        # PNGs re-read every epoch); cache the resized u8 arrays in RAM.
+        # Augmentation/normalization still run per access.  Use with
+        # num_workers=0 (forked workers would each hold a cold copy).
+        self._decode_cache: Optional[Dict[int, np.ndarray]] = (
+            {} if cache_decoded else None)
 
         self.samples: List[Dict] = []
         for source in sources:
@@ -116,6 +123,8 @@ class MarsImageDataset:
 
     # ----------------------------------------------------------- loading
     def _load(self, index: int) -> np.ndarray:
+        if self._decode_cache is not None and index in self._decode_cache:
+            return self._decode_cache[index].astype(np.float32) / 255.0
         path = self.samples[index]["path"]
         img = Image.open(path).convert("RGB")
         arr = np.asarray(img, dtype=np.uint8)
@@ -124,6 +133,8 @@ class MarsImageDataset:
 
             # C++ fast path when built; numpy fallback otherwise.
             arr = native.resize_bilinear_u8(arr, self.height, self.width)
+        if self._decode_cache is not None:
+            self._decode_cache[index] = arr
         return arr.astype(np.float32) / 255.0
 
     def _sample_aug(self, r) -> Dict:

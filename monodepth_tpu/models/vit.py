@@ -199,7 +199,13 @@ class VisionTransformer(nn.Module):
     mlp_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, token_mask=None):
+        """token_mask: optional [B, (H/16)*(W/16)] {0,1} mask for masked-
+        image-modeling pretraining (train/pretrain.py SimMIM): masked patch
+        embeddings are replaced by a learned mask token BEFORE the position
+        embedding is added (Xie et al. 2022).  The `mask_token` param is
+        only created when a mask is passed, so inference/fine-tune param
+        trees are unchanged; the pretrainer strips it on export."""
         b, h, w, _ = x.shape
         assert h % self.patch_size == 0 and w % self.patch_size == 0, (
             f"ViT input must be /{self.patch_size}, got {h}x{w}"
@@ -224,6 +230,16 @@ class VisionTransformer(nn.Module):
             name="patch_embed",
         )(x)
         x = x.reshape(b, n_h * n_w, self.hidden_dim)
+
+        if token_mask is not None:
+            mask_token = self.param(
+                "mask_token",
+                nn.initializers.normal(stddev=0.02),
+                (1, 1, self.hidden_dim),
+                jnp.float32,
+            )
+            m = token_mask[..., None].astype(x.dtype)
+            x = x * (1.0 - m) + mask_token.astype(x.dtype) * m
 
         cls_token = self.param(
             "cls_token",

@@ -326,7 +326,13 @@ def load_model_variables(variables, path: str, enhanced: bool = False):
 
 
 def maybe_load_pretrained_vit() -> Optional[Dict]:
-    """Return converted ViT params if a local checkpoint exists, else None."""
+    """Return converted ViT params if a local checkpoint exists, else None.
+
+    Two formats: a torchvision vit_*_16 .pth (converted key-by-key), or a
+    native .npz written by the in-domain SimMIM pretrainer
+    (train/pretrain.py save_vit_npz) — the zero-egress substitute for the
+    torchvision download, consumed through the same hook.
+    """
     path = find_vit_weights()
     if path is None:
         warnings.warn(
@@ -334,6 +340,10 @@ def maybe_load_pretrained_vit() -> Optional[Dict]:
             "encoder starts from random init (pretrained=False behavior)."
         )
         return None
+    if path.endswith(".npz"):
+        from monodepth_tpu.train.pretrain import load_vit_npz
+
+        return load_vit_npz(path)
     return convert_vit_state_dict(load_torch_state_dict(path))
 
 

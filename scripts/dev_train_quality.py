@@ -54,6 +54,14 @@ def parse_args():
                    default="/root/reference/assets/rover")
     p.add_argument("--num_variants", type=int, default=4)
     p.add_argument("--max_seeds", type=int, default=8)
+    p.add_argument("--platform", type=str, default=None,
+                   help="Force a jax platform (e.g. 'cpu' to run while a "
+                        "TPU job holds the axon grant)")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--encoder_lr_factor", type=float, default=1.0,
+                   help="1.0 (default here): from-scratch runs need the "
+                        "encoder to learn at full rate; the reference's 0.1 "
+                        "is a fine-tuning ratio")
     return p.parse_args()
 
 
@@ -71,6 +79,10 @@ def make_scorer(adapter, eval_images):
 
 def main():
     args = parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from monodepth_tpu.config import ModelConfig, TrainConfig
     from monodepth_tpu.data.synthetic import prepare_synthetic_mars_data
@@ -88,6 +100,8 @@ def main():
         data_dir=data_dir,
         batch_size=args.batch_size,
         num_epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        encoder_lr_factor=args.encoder_lr_factor,
         height=args.height,
         width=args.width,
         loss_mode=args.loss_mode,

@@ -76,14 +76,29 @@ def parse_args(argv=None):
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--loss_mode", type=str, default="reference",
-                   choices=["reference", "flip", "photometric", "sequence"],
+                   choices=["reference", "flip", "photometric", "sequence",
+                            "supervised"],
                    help="'reference' = the reference's jittered-L1 placeholder; "
                         "'flip' = left-right flip-consistency self-supervision; "
                         "'photometric' = SSIM+L1 reprojection over synthetic "
                         "pose pairs (backproject/project/sample); "
                         "'sequence' = the full monodepth2 objective on real "
                         "consecutive-frame pairs with a jointly trained "
-                        "PoseNet and automasking (models/pose.py)")
+                        "PoseNet and automasking (models/pose.py); "
+                        "'supervised' = Eigen scale-invariant log loss "
+                        "against exact rendered ground truth from the "
+                        "procedural terrain renderer (data/procedural.py) "
+                        "— no dataset needed, scenes render on the fly")
+    p.add_argument("--render_length", type=int, default=512,
+                   help="supervised mode: scenes per epoch (fresh scenes "
+                        "are drawn every epoch)")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="host input-pipeline worker processes (supervised "
+                        "mode is render-bound: raise this)")
+    p.add_argument("--texture_dir", type=str, default="",
+                   help="supervised mode: real-frame folder whose shading-"
+                        "removed crops texture the renders (e.g. the asset "
+                        "corpus); '' = fully procedural albedo")
     p.add_argument("--min_pairs", type=int, default=4,
                    help="Sequence mode: abort when the train split yields "
                         "fewer (target, source) frame pairs than this — a "
@@ -183,7 +198,8 @@ def main(argv=None):
     from monodepth_tpu.parallel.distributed import initialize
 
     initialize()
-    ensure_dataset(args)
+    if args.loss_mode != "supervised":  # supervised renders on the fly
+        ensure_dataset(args)
     if args.loss_mode == "sequence":
         report_sequence_pairs(args)
 
@@ -213,6 +229,9 @@ def main(argv=None):
         loader_backend=args.loader_backend,
         grad_accum_steps=args.grad_accum,
         fsdp=args.fsdp,
+        render_length=args.render_length,
+        render_texture_dir=args.texture_dir,
+        num_workers=args.num_workers,
     )
 
     from monodepth_tpu.parallel.mesh import parse_mesh_spec

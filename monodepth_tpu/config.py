@@ -129,8 +129,20 @@ class TrainConfig:
     # 'sequence' is the full monodepth2 objective on REAL consecutive-frame
     # pairs: a jointly trained PoseNet (models/pose.py) predicts the camera
     # motion, the reprojection warp uses it, and automasking suppresses
-    # static/moving pixels (train/losses.py:compute_losses_sequence).
+    # static/moving pixels (train/losses.py:compute_losses_sequence);
+    # 'supervised' trains against exact rendered ground truth from the
+    # procedural terrain renderer (data/procedural.py) with the Eigen
+    # scale-invariant log loss + gradient matching
+    # (train/losses.py:compute_losses_supervised) — the zero-egress
+    # substitute for real depth GT, and the only in-environment objective
+    # with no degenerate optimum (train/pretrain.py module docstring
+    # records the photometric/sequence failure modes).
     loss_mode: str = "reference"
+    # loss_mode='supervised' only: scenes per rendered epoch (fresh scenes
+    # are drawn every epoch) and the real-frame folder whose shading-
+    # removed crops texture the renders ('' = fully procedural albedo).
+    render_length: int = 512
+    render_texture_dir: str = ""
     # Decoder scales the training objective averages over (monodepth2
     # multi-scale supervision).  (0,) = reference behavior: only the
     # coarsest-level disparity — ("disp", 0) is emitted at the coarsest

@@ -385,10 +385,13 @@ class NumpyLoader:
             yield np.arange(start + lo, start + lo + len(shard)), shard
 
     def _collate(self, items):
-        return {
-            "image": np.stack([it["image"] for it in items]),
-            "metadata": [it["metadata"] for it in items],
-        }
+        # stack every ndarray key (e.g. 'depth' targets from
+        # MarsRenderedDepthDataset ride along with 'image')
+        out = {"metadata": [it["metadata"] for it in items]}
+        for key, value in items[0].items():
+            if isinstance(value, np.ndarray):
+                out[key] = np.stack([it[key] for it in items])
+        return out
 
     def _item_seed(self, position: int, epoch: int) -> int:
         # deterministic per (seed, epoch, global position in the epoch order)
@@ -552,7 +555,9 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
                          source_type: Optional[str] = None,
                          num_workers: int = 0,
                          shard_index: int = 0, shard_count: int = 1,
-                         backend: str = "numpy", sequence: bool = False):
+                         backend: str = "numpy", sequence: bool = False,
+                         rendered: bool = False, render_length: int = 512,
+                         render_texture_dir: Optional[str] = None):
     """Train/val/test loaders (reference mars_dataset.py:201-236).
 
     `source_type` accepts the reference adapter's convention
@@ -563,6 +568,9 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
     'grain' (Google Grain pipeline, data/grain_pipeline.py).
     `sequence=True` yields consecutive-frame pairs ([H, W, 6] items,
     MarsSequenceDataset) for loss_mode='sequence'.
+    `rendered=True` yields procedurally rendered (image, depth) items
+    (data/procedural.MarsRenderedDepthDataset, `render_length` train
+    scenes) for loss_mode='supervised'; `data_path` is unused then.
     """
     if source_type == "mixed":
         # the reference adapter's 'mixed' convention (mars_adapter.py:42)
@@ -570,10 +578,27 @@ def get_mars_dataloaders(data_path: str, batch_size: int = 8, height: int = 384,
         sources = ("rover", "satellite", "ingenuity")
     elif source_type is not None:
         sources = (source_type,)
+    if rendered and backend == "grain":
+        raise ValueError("rendered (supervised) datasets use the numpy "
+                         "loader backend")
     ds_cls = MarsSequenceDataset if sequence else MarsImageDataset
     loaders = {}
     for split in ("train", "val", "test"):
-        ds = ds_cls(data_path, split, height, width, sources, seed=seed)
+        if rendered:
+            from monodepth_tpu.data.procedural import MarsRenderedDepthDataset
+
+            # disjoint scene streams per split: the val/test seeds are
+            # offset past any index the train stream can reach
+            split_ix = ("train", "val", "test").index(split)
+            ds = MarsRenderedDepthDataset(
+                length=(render_length if split == "train"
+                        else max(8, render_length // 16)),
+                height=height, width=width,
+                seed=seed + split_ix * 100_003 + 1,
+                texture_dir=render_texture_dir)
+            ds.is_train = split == "train"  # no flip aug on val/test
+        else:
+            ds = ds_cls(data_path, split, height, width, sources, seed=seed)
         common = dict(
             shuffle=(split == "train"),
             drop_last=(split == "train"),

@@ -146,6 +146,26 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
                     max_depth=cfg.model.max_depth,
                 ) for s in loss_scales])
                 return losses["total"], (mutated["batch_stats"], losses)
+            if loss_mode == "supervised":
+                # rendered ground truth rides as a 4th channel (the same
+                # packing trick sequence mode uses at 6): split, forward
+                # the RGB, score against the exact render depth
+                # (train/losses.py compute_losses_supervised)
+                from monodepth_tpu.train.losses import compute_losses_supervised
+
+                rgb, depth_gt = images[..., :3], images[..., 3:]
+                outputs, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    rgb, scales, train=True, mutable=["batch_stats"],
+                )
+                losses = _mean_losses([compute_losses_supervised(
+                    rgb, outputs[("disp", s)], depth_gt,
+                    depth_weight=cfg.depth_weight,
+                    smoothness_weight=smooth_w[s],
+                    min_depth=cfg.model.min_depth,
+                    max_depth=cfg.model.max_depth,
+                ) for s in loss_scales])
+                return losses["total"], (mutated["batch_stats"], losses)
             if loss_mode == "photometric":
                 # SSIM+L1 reprojection objective (train/losses.py); the rng
                 # is shared across scales, so every scale reprojects through
@@ -211,8 +231,11 @@ def make_train_step(model, tx, cfg: TrainConfig, state_shardings=None,
 def make_eval_step(model, cfg: TrainConfig):
     @jax.jit
     def eval_step(params, batch_stats, images, scales, rng):
+        depth_gt = None
         if images.shape[-1] == 6:  # sequence pairs: validate on the target
             images = images[..., :3]
+        elif images.shape[-1] == 4:  # supervised: rendered GT channel
+            images, depth_gt = images[..., :3], images[..., 3:]
         params = {k: v for k, v in params.items() if k != "pose"}
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, scales
@@ -224,9 +247,18 @@ def make_eval_step(model, cfg: TrainConfig):
         )
         disp = outputs[("disp", 0)]
         _, depth = disp_to_depth(disp, cfg.model.min_depth, cfg.model.max_depth)
-        # simulated GT, as in the reference validation (:190)
-        fake_gt = depth * (0.9 + 0.2 * jax.random.uniform(rng, depth.shape))
-        errs = compute_depth_errors(fake_gt, depth)
+        if depth_gt is not None:
+            # REAL depth errors against the rendered ground truth, with
+            # median scaling (the renderer's units are arbitrary — the
+            # Eigen protocol for scale-ambiguous predictions)
+            ratio = (jnp.median(depth_gt, axis=(1, 2, 3), keepdims=True)
+                     / jnp.maximum(jnp.median(depth, axis=(1, 2, 3),
+                                              keepdims=True), 1e-9))
+            errs = compute_depth_errors(depth_gt, depth * ratio)
+        else:
+            # simulated GT, as in the reference validation (:190)
+            fake_gt = depth * (0.9 + 0.2 * jax.random.uniform(rng, depth.shape))
+            errs = compute_depth_errors(fake_gt, depth)
         return losses, errs
 
     return eval_step
@@ -261,8 +293,13 @@ class MarsDomainAdapter:
                 source_type=cfg.source_type,
                 num_workers=cfg.num_workers,
                 shard_index=process_index(), shard_count=process_count(),
-                backend=cfg.loader_backend,
+                backend=("numpy" if cfg.loss_mode == "supervised"
+                         else cfg.loader_backend),
                 sequence=(cfg.loss_mode == "sequence"),
+                rendered=(cfg.loss_mode == "supervised"),
+                render_length=getattr(cfg, "render_length", 512),
+                render_texture_dir=getattr(cfg, "render_texture_dir", "")
+                or None,
             )
             train_loader = train_loader or tr
             val_loader = val_loader or va
@@ -500,6 +537,11 @@ class MarsDomainAdapter:
         import numpy as _np
 
         images = _np.asarray(batch["image"])
+        if "depth" in batch and self.cfg.loss_mode == "supervised":
+            # rendered GT rides as channel 3 (split inside the train step,
+            # like sequence mode's 6-channel packing)
+            images = _np.concatenate(
+                [images, _np.asarray(batch["depth"])], axis=-1)
         scales = _np.asarray(
             [disp_scale_factor(m) for m in batch["metadata"]], _np.float32
         )

@@ -26,7 +26,8 @@ from monodepth_tpu.layers import (
 )
 
 __all__ = ["compute_losses", "compute_losses_flip", "compute_losses_photometric",
-           "compute_losses_sequence", "photometric_error", "synthetic_pair"]
+           "compute_losses_sequence", "compute_losses_supervised",
+           "photometric_error", "synthetic_pair"]
 
 
 def compute_losses(
@@ -215,6 +216,58 @@ def compute_losses_sequence(
         "smoothness": smoothness_weight * get_smooth_loss(norm_disp, target),
         "depth": depth_weight * photo,
         "automask_frac": automask_frac,
+    }
+    losses["total"] = losses["depth"] + losses["smoothness"]
+    return losses
+
+
+def compute_losses_supervised(
+    images: jnp.ndarray,
+    disp: jnp.ndarray,
+    depth_gt: jnp.ndarray,
+    depth_weight: float = 1.0,
+    smoothness_weight: float = 0.001,
+    min_depth: float = 0.1,
+    max_depth: float = 100.0,
+    si_lambda: float = 0.85,
+    grad_weight: float = 0.5,
+) -> Dict[str, jnp.ndarray]:
+    """Scale-invariant supervised depth objective
+    (TrainConfig.loss_mode='supervised'), for rendered ground truth from
+    `data.procedural.MarsRenderedDepthDataset`.
+
+    The Eigen et al. 2014 scale-invariant log loss, per image:
+      d = log(pred) - log(gt);  L = mean(d^2) - si_lambda * mean(d)^2
+    (si_lambda=0.85, the standard SILog setting) — invariant enough to the
+    renderer's arbitrary global scale that the [min_depth, max_depth]
+    sigmoid range needs no calibration against the render units — plus a
+    multi-scale log-gradient matching term (structure supervision that the
+    scale term alone leaves loose) and the mean-normalized edge-aware
+    smoothness used by the sequence objective.
+
+    Args:
+      images:   [B, H, W, 3] rendered inputs (for smoothness edges).
+      disp:     [B, H, W, 1] predicted sigmoid disparity.
+      depth_gt: [B, H, W, 1] rendered ground-truth depth (raw units).
+    """
+    _, depth = disp_to_depth(disp, min_depth, max_depth)
+    d = jnp.log(depth) - jnp.log(jnp.maximum(depth_gt, 1e-6))
+    d_mean = jnp.mean(d, axis=(1, 2, 3))
+    si = jnp.mean(jnp.mean(d * d, axis=(1, 2, 3)) - si_lambda * d_mean * d_mean)
+
+    # log-gradient matching (MiDaS-style, 2 scales): supervises relative
+    # structure the scale-invariant term is insensitive to at high freq.
+    def grad_term(x):
+        gx = jnp.abs(x[:, :, 1:, :] - x[:, :, :-1, :])
+        gy = jnp.abs(x[:, 1:, :, :] - x[:, :-1, :, :])
+        return jnp.mean(gx) + jnp.mean(gy)
+
+    grads = grad_term(d) + grad_term(d[:, ::2, ::2, :])
+
+    norm_disp = disp / (jnp.mean(disp, axis=(1, 2, 3), keepdims=True) + 1e-7)
+    losses = {
+        "smoothness": smoothness_weight * get_smooth_loss(norm_disp, images),
+        "depth": depth_weight * (si + grad_weight * grads),
     }
     losses["total"] = losses["depth"] + losses["smoothness"]
     return losses

@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="Orbax dir / .pth full-model checkpoint, or a "
+                        "SimMIM encoder .npz (loaded via the "
+                        "MONODEPTH_TPU_VIT_WEIGHTS hook)")
     p.add_argument("--per_source", type=int, default=2)
     p.add_argument("--max_size", type=int, default=512)
     p.add_argument("--platform", type=str, default=None,
@@ -90,13 +93,18 @@ def main(argv=None):
     print(f"weights: {'TRAINED ' + args.ckpt if args.ckpt else 'random'}; "
           f"{len(images)} held-out frames @{args.max_size}", flush=True)
 
+    ckpt, pretrained = args.ckpt, False
+    if ckpt and ckpt.endswith(".npz"):
+        os.environ["MONODEPTH_TPU_VIT_WEIGHTS"] = ckpt
+        ckpt, pretrained = None, True
     variants = {
-        "bf16": ModelConfig(pretrained=False, dtype="bfloat16",
-                            checkpoint=args.ckpt),
-        "f32": ModelConfig(pretrained=False, dtype="float32",
-                           checkpoint=args.ckpt),
-        "bf16_host_upsample": ModelConfig(pretrained=False, dtype="bfloat16",
-                                          checkpoint=args.ckpt,
+        "bf16": ModelConfig(pretrained=pretrained, dtype="bfloat16",
+                            checkpoint=ckpt),
+        "f32": ModelConfig(pretrained=pretrained, dtype="float32",
+                           checkpoint=ckpt),
+        "bf16_host_upsample": ModelConfig(pretrained=pretrained,
+                                          dtype="bfloat16",
+                                          checkpoint=ckpt,
                                           host_upsample=True),
     }
     disps, proxy = {}, {}

@@ -45,6 +45,13 @@ def main():
     per_source = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     max_size = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     ckpt = sys.argv[3] if len(sys.argv) > 3 else None
+    # a .npz third arg is a bare-encoder init (SimMIM pretraining output),
+    # loaded through the MONODEPTH_TPU_VIT_WEIGHTS hook instead of the
+    # full-model checkpoint loader
+    pretrained = bool(ckpt) and ckpt.endswith(".npz")
+    if pretrained:
+        os.environ["MONODEPTH_TPU_VIT_WEIGHTS"] = ckpt
+        ckpt = None
 
     paths = []
     for source in ("rover", "satellite", "ingenuity"):
@@ -54,24 +61,26 @@ def main():
     images = [load_image(p, max_size) for p in paths]
 
     modes = {
-        "parity_224": ModelConfig(pretrained=False, dtype="bfloat16",
+        "parity_224": ModelConfig(pretrained=pretrained, dtype="bfloat16",
                                   checkpoint=ckpt),
-        "native_global": ModelConfig(pretrained=False, dtype="bfloat16",
+        "native_global": ModelConfig(pretrained=pretrained, dtype="bfloat16",
                                      checkpoint=ckpt,
                                      native_patching=True, attn_window=0,
                                      seq_pad_multiple=1),
-        "native_win16": ModelConfig(pretrained=False, dtype="bfloat16",
+        "native_win16": ModelConfig(pretrained=pretrained, dtype="bfloat16",
                                     checkpoint=ckpt,
                                     native_patching=True, attn_window=16,
                                     seq_pad_multiple=1),
-        "native_win16_sra2": ModelConfig(pretrained=False, dtype="bfloat16",
+        "native_win16_sra2": ModelConfig(pretrained=pretrained, dtype="bfloat16",
                                          checkpoint=ckpt,
                                          native_patching=True, attn_window=16,
                                          attn_global_pool=2,
                                          seq_pad_multiple=1),
     }
-    print(f"weights: {'TRAINED ' + ckpt if ckpt else 'random init (seed 0)'}",
-          flush=True)
+    label = ("TRAINED " + ckpt if ckpt else
+             "SimMIM encoder " + os.environ["MONODEPTH_TPU_VIT_WEIGHTS"]
+             if pretrained else "random init (seed 0)")
+    print(f"weights: {label}", flush=True)
 
     evaluator = MarsTerrainEvaluator()
     disp_by_mode = {}
@@ -109,7 +118,7 @@ def main():
                   flush=True)
 
     print(json.dumps({"images": len(images), "max_size": max_size,
-                      "ckpt": ckpt}))
+                      "ckpt": ckpt, "pretrained_env": pretrained}))
 
 
 if __name__ == "__main__":

@@ -28,8 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--ckpt", type=str, required=True,
+    p.add_argument("--ckpt", type=str, default=None,
                    help="Orbax checkpoint dir or reference .pth state dict")
+    p.add_argument("--vit_npz", type=str, default=None,
+                   help="Score a bare encoder init instead: a SimMIM .npz "
+                        "(cli/mars_pretrain) or torchvision .pth loaded via "
+                        "the MONODEPTH_TPU_VIT_WEIGHTS hook (decoder stays "
+                        "at the seed-0 random init)")
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--per_source", type=int, default=2)
@@ -44,11 +49,11 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_estimator(args, checkpoint):
+def build_estimator(args, checkpoint, pretrained=False):
     from monodepth_tpu.config import ModelConfig
     from monodepth_tpu.inference import MarsDepthEstimator
 
-    cfg = ModelConfig(pretrained=False, dtype=args.dtype,
+    cfg = ModelConfig(pretrained=pretrained, dtype=args.dtype,
                       enhanced=args.enhanced, checkpoint=checkpoint)
     return MarsDepthEstimator(cfg, seed=0)
 
@@ -60,6 +65,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    if not args.ckpt and not args.vit_npz:
+        raise SystemExit("one of --ckpt / --vit_npz is required")
+
     from monodepth_tpu.utils.quality import (
         load_heldout_assets, score_depth_model,
     )
@@ -70,11 +78,17 @@ def main(argv=None):
     print(f"held-out eval set: {len(eval_images)} frames "
           f"@{args.height}x{args.width}", file=sys.stderr, flush=True)
 
-    est = build_estimator(args, args.ckpt)
+    if args.vit_npz:
+        os.environ["MONODEPTH_TPU_VIT_WEIGHTS"] = args.vit_npz
+        est = build_estimator(args, None, pretrained=True)
+        label = f"vit_npz:{args.vit_npz}"
+    else:
+        est = build_estimator(args, args.ckpt)
+        label = args.ckpt
     trained = score_depth_model(est.model, est.variables, eval_images)
-    print(f"checkpoint {args.ckpt}: {trained}", file=sys.stderr, flush=True)
+    print(f"checkpoint {label}: {trained}", file=sys.stderr, flush=True)
 
-    summary = {"ckpt": args.ckpt, "frames": len(eval_images),
+    summary = {"ckpt": label, "frames": len(eval_images),
                "height": args.height, "width": args.width,
                "trained": trained}
     if not args.no_random_baseline:

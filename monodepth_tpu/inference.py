@@ -128,10 +128,32 @@ class MarsDepthEstimator:
         variables = self.model.init(jax.random.PRNGKey(seed), dummy)
         variables = jax.tree_util.tree_map(np.asarray, variables)
 
+        # MONODEPTH_TPU_CHECKPOINT: the zero-egress substitute for the
+        # reference's auto-downloaded pretrained weights (encoder.py:29-35
+        # upstream) — a full-model default checkpoint (reference .pth or
+        # Orbax dir) every CLI picks up without flags.  An explicit
+        # ModelConfig.checkpoint always wins; a mismatched env checkpoint
+        # (e.g. a standard-model .pth under --enhanced_model) degrades to
+        # the ordinary init with a warning instead of crashing the CLI.
         ckpt = self.config.checkpoint
+        env_ckpt = None
+        if not ckpt:
+            env_ckpt = os.environ.get("MONODEPTH_TPU_CHECKPOINT") or None
+            ckpt = env_ckpt
+        loaded = False
         if ckpt:
-            variables = self._load_checkpoint(variables, ckpt)
-        elif self.config.pretrained:
+            try:
+                variables = self._load_checkpoint(variables, ckpt)
+                loaded = True
+            except Exception:
+                if not env_ckpt:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"MONODEPTH_TPU_CHECKPOINT={env_ckpt!r} does not load "
+                    f"into this model configuration; continuing without it.")
+        if not loaded and self.config.pretrained:
             vit = weights_lib.maybe_load_pretrained_vit()
             if vit is not None:
                 if weights_lib.vit_params_compatible(
@@ -169,10 +191,15 @@ class MarsDepthEstimator:
             )
         return self
 
-    def export_reference_checkpoint(self, path: str) -> str:
+    def export_reference_checkpoint(self, path: str,
+                                    dtype: Optional[str] = None) -> str:
         """Save current weights as a reference-format .pth (torch naming),
         loadable by the PyTorch reference's `load_state_dict` — the inverse
-        of `convert_to_mars_domain`."""
+        of `convert_to_mars_domain`.
+
+        dtype: optional storage dtype ('float16' halves the artifact for
+        committed checkpoints; both loaders cast back to float32 on load —
+        weights.py `_t` / reference torch `load_state_dict` upcasts)."""
         import torch
 
         sd = weights_lib.export_reference_state_dict(
@@ -180,6 +207,8 @@ class MarsDepthEstimator:
             jax.tree_util.tree_map(np.asarray, self.variables["batch_stats"]),
             enhanced=self.config.enhanced,
         )
+        if dtype:
+            sd = {k: np.asarray(v, dtype=dtype) for k, v in sd.items()}
         torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
         return path
 

@@ -210,3 +210,42 @@ def test_uint8_feed_matches_float_path(estimator, rng):
     np.testing.assert_allclose(got["disp"], want["disp"], rtol=1e-5)
     one = estimator.predict(u8[0])
     np.testing.assert_allclose(one["disp"], got["disp"][0], rtol=1e-6)
+
+
+def test_env_default_checkpoint(tmp_path, monkeypatch, rng):
+    """MONODEPTH_TPU_CHECKPOINT supplies a default full-model checkpoint to
+    any estimator built without an explicit one (the zero-egress stand-in
+    for the reference's auto-downloaded weights); an explicit
+    ModelConfig.checkpoint wins, and a broken env path degrades to the
+    ordinary init with a warning instead of crashing."""
+    import warnings
+
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    src = MarsDepthEstimator(ModelConfig(pretrained=False), seed=42)
+    pth = str(tmp_path / "trained.pth")
+    src.export_reference_checkpoint(pth, dtype="float16")
+
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", pth)
+    est = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    want = np.asarray(
+        src.variables["params"]["decoder"]["dispconv_0"]["kernel"], np.float32)
+    got = np.asarray(
+        est.variables["params"]["decoder"]["dispconv_0"]["kernel"], np.float32)
+    # float16 storage round-trip: exact at half precision
+    np.testing.assert_allclose(got, want.astype(np.float16).astype(np.float32))
+
+    # a mismatched/broken env checkpoint must not take down the CLI path
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", str(tmp_path / "nope.pth"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fallback = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    assert any("MONODEPTH_TPU_CHECKPOINT" in str(x.message) for x in w)
+    monkeypatch.delenv("MONODEPTH_TPU_CHECKPOINT")
+    base = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(fallback.variables["params"]["decoder"]["dispconv_0"]
+                   ["kernel"]),
+        np.asarray(base.variables["params"]["decoder"]["dispconv_0"]
+                   ["kernel"]))

@@ -231,6 +231,7 @@ def compute_losses_supervised(
     max_depth: float = 100.0,
     si_lambda: float = 0.85,
     grad_weight: float = 0.5,
+    gt_mean_target: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     """Scale-invariant supervised depth objective
     (TrainConfig.loss_mode='supervised'), for rendered ground truth from
@@ -250,7 +251,18 @@ def compute_losses_supervised(
       disp:     [B, H, W, 1] predicted sigmoid disparity.
       depth_gt: [B, H, W, 1] rendered ground-truth depth (raw units).
     """
+    # Calibrate the renderer's arbitrary units to the representable range:
+    # disp_to_depth(0.1, 100) maps healthy sigmoid activations to depths
+    # ~[0.2, 2], while rendered depths run in the 100s — left raw, the
+    # si_lambda mean-anchor term drags every prediction toward max_depth
+    # and the sigmoid saturates at 0 (measured on the v1 checkpoint:
+    # mean disp 0.007 on real frames).  A per-image rescale to mean
+    # `gt_mean_target` preserves relative structure exactly (the part the
+    # loss supervises) and anchors predictions mid-range instead.
     _, depth = disp_to_depth(disp, min_depth, max_depth)
+    gt_mean = jnp.mean(jnp.maximum(depth_gt, 1e-6), axis=(1, 2, 3),
+                       keepdims=True)
+    depth_gt = depth_gt * (gt_mean_target / gt_mean)
     d = jnp.log(depth) - jnp.log(jnp.maximum(depth_gt, 1e-6))
     d_mean = jnp.mean(d, axis=(1, 2, 3))
     si = jnp.mean(jnp.mean(d * d, axis=(1, 2, 3)) - si_lambda * d_mean * d_mean)

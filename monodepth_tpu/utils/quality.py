@@ -94,8 +94,22 @@ def score_depth_model(
     batch = jnp.asarray(eval_images)
     disp = np.asarray(fwd(variables, batch), dtype=np.float32)
     disp_f = np.asarray(fwd(variables, batch[:, :, ::-1, :]), dtype=np.float32)
-    flip_inc = float(np.mean(np.abs(disp - disp_f[:, :, ::-1, :]))
+    mirrored = disp_f[:, :, ::-1, :]
+    # Three flip-consistency views, because the mean-normalized one is
+    # scale-confounded: a model whose disparities average 0.007 (a trained
+    # scale-invariant checkpoint) can have 5x SMALLER raw flip error than
+    # random init yet a 10x larger normalized number.  Pearson r between
+    # the disparity and its mirrored-flip twin is the scale-free signal.
+    flip_inc = float(np.mean(np.abs(disp - mirrored))
                      / max(float(np.mean(disp)), 1e-9))
+    flip_raw = float(np.mean(np.abs(disp - mirrored)))
+    rs = []
+    for i in range(len(eval_images)):
+        a, b = disp[i].ravel(), mirrored[i].ravel()
+        sa, sb = a.std(), b.std()
+        rs.append(float(np.corrcoef(a, b)[0, 1]) if sa > 0 and sb > 0
+                  else 0.0)
+    flip_pearson = float(np.mean(rs))
 
     _, depth = disp_to_depth(jnp.asarray(disp), min_depth, max_depth)
     depth = np.asarray(depth)
@@ -106,4 +120,6 @@ def score_depth_model(
         proxies.append(m["edge_score"] + m["detail_score"]
                        - 2.0 * m["noise_score"])
     return {"flip_inconsistency": flip_inc,
+            "flip_raw_l1": flip_raw,
+            "flip_pearson": flip_pearson,
             "proxy_score": float(np.mean(proxies))}

@@ -54,9 +54,12 @@ def test_score_depth_model_keys_and_pose_dropped(assets_root):
     variables["params"] = dict(variables["params"], pose={"w": jnp.zeros((3,))})
     imgs = load_heldout_assets(32, 48, per_source=1, assets_root=assets_root)
     scores = score_depth_model(model, variables, imgs)
-    assert set(scores) == {"flip_inconsistency", "proxy_score"}
+    assert set(scores) == {"flip_inconsistency", "flip_raw_l1",
+                           "flip_pearson", "proxy_score"}
     assert np.isfinite(scores["flip_inconsistency"])
     assert scores["flip_inconsistency"] >= 0.0
+    assert scores["flip_raw_l1"] >= 0.0
+    assert -1.0 <= scores["flip_pearson"] <= 1.0
     assert np.isfinite(scores["proxy_score"])
 
 
@@ -74,6 +77,8 @@ def test_flip_inconsistency_zero_for_equivariant_model(assets_root):
     imgs = load_heldout_assets(32, 48, per_source=1, assets_root=assets_root)
     scores = score_depth_model(RowMean(), {"params": {}}, imgs)
     assert scores["flip_inconsistency"] < 1e-5
+    assert scores["flip_raw_l1"] < 1e-6
+    assert scores["flip_pearson"] > 0.999
 
 
 def test_eval_checkpoint_quality_cli(assets_root, tmp_path):

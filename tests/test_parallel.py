@@ -73,7 +73,14 @@ def test_params_actually_sharded():
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8)
+    ran = ge.dryrun_multichip(8)
+    # Every flagship leg must actually execute (round-4 regression: a stray
+    # `legs = []` made the dryrun a no-op that still printed OK).
+    assert any(leg.startswith("standard-train") for leg in ran), ran
+    assert any(leg.startswith("enhanced-train") for leg in ran), ran
+    assert any(leg.startswith("sequence-train") for leg in ran), ran
+    assert any(leg.startswith("sharded-predict") for leg in ran), ran
+    assert len(ran) == 4, ran
 
 
 def test_entry_compiles():
@@ -91,7 +98,9 @@ def test_dryrun_multichip_four_devices():
     test_dryrun_multichip_entrypoint's job."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(4, legs=("standard",), standard_shape=(96, 128))
+    ran = ge.dryrun_multichip(4, legs=("standard",),
+                              standard_shape=(96, 128))
+    assert len(ran) == 1 and ran[0].startswith("standard-train@96x128"), ran
 
 
 def test_sharded_enhanced_forward_matches_single_device(rng):

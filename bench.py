@@ -336,7 +336,7 @@ def bench_serving(size=512, max_batch=8, clients=16, total_requests=96,
         # fetch through the tunnel bounded the old end-to-end number)
         estimator = MarsDepthEstimator(
             ModelConfig(dtype="bfloat16", pretrained=False,
-                        host_upsample=True))
+                        use_default_checkpoint=False, host_upsample=True))
     service = DepthService(estimator, max_batch=max_batch)
     # Warm every bucket shape the batcher can send to the device (the
     # serve CLI's --warmup does the same) so no timed request compiles.
@@ -449,6 +449,27 @@ def run_all(headline_value, batch, size, repeats):
     except Exception as e:  # pragma: no cover - env-dependent
         _log(f"[bench --all] native mode failed: {e}")
 
+    _log("[bench --all] config 6d: native mode + tanh-GELU MLP @1024, batch 8 ...")
+    try:
+        # The exact-erf GELU VPU pass is the native tower's largest
+        # recoverable elementwise cost (round-4 probe: tower 52.9 -> 32.7 ms
+        # with tanh).  Quality-gated serving knob (mlp_impl='xla_tanh',
+        # deviation <= the bf16-rounding order; docs/PERF_STUDY.md §00),
+        # never a silent default — hence a separate row from config 6.
+        v = bench_standard(8, size, max(repeats // 3, 5),
+                           native_patching=True, attn_impl="pallas",
+                           attn_window=16, seq_pad_multiple=1,
+                           mlp_impl=os.environ.get(
+                               "MONODEPTH_BENCH_MLP_IMPL", "xla_tanh"))
+        results.append({
+            "config": "6d_native_tanh_gelu_1024px",
+            "metric": "images/sec/chip, native-resolution bf16 + tanh-GELU "
+                      "MLP knob (mlp_impl='xla_tanh'), 1024px, batch 8",
+            "value": round(v, 2), "unit": "images/sec/chip",
+            "vs_baseline": round(v / NORTH_STAR, 3)})
+    except Exception as e:  # pragma: no cover - env-dependent
+        _log(f"[bench --all] native tanh-GELU mode failed: {e}")
+
     _log("[bench --all] config 6b: enhanced + native-resolution @1024, batch 4 ...")
     try:
         v = bench_enhanced(4, size, max(repeats // 3, 5),
@@ -488,7 +509,8 @@ def run_all(headline_value, batch, size, repeats):
         from monodepth_tpu.inference import MarsDepthEstimator
 
         est = MarsDepthEstimator(ModelConfig(
-            dtype="bfloat16", pretrained=False, host_upsample=True))
+            dtype="bfloat16", pretrained=False, use_default_checkpoint=False,
+            host_upsample=True))
         for fmt, config_name in (("png", "7_http_serving_512px"),
                                  ("jpeg", "7b_http_serving_512px_jpeg")):
             runs, stats_runs = [], []

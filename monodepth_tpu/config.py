@@ -21,6 +21,13 @@ class ModelConfig:
     enhanced: bool = False
     pretrained: bool = True
     checkpoint: Optional[str] = None          # reference .pth or orbax dir
+    # Resolve a default trained checkpoint when `checkpoint` is unset: the
+    # MONODEPTH_TPU_CHECKPOINT env var if set (set it to "" to force random
+    # init), else the committed artifacts/mars_depth_v2.pth — the
+    # zero-egress equivalent of the reference's pretrained-by-default
+    # behavior (encoder.py:29-35 upstream).  False = this model always
+    # ignores env/committed defaults (random-init baselines, parity tests).
+    use_default_checkpoint: bool = True
     dtype: str = "float32"                    # 'float32' | 'bfloat16'
     # 'auto' picks the fused Pallas kernels for native_patching (flash /
     # windowed / SRA; see docs/PERF_STUDY.md) and XLA for the 197-token
@@ -54,12 +61,15 @@ class ModelConfig:
     # Serving-only; checkpoints are unchanged (quantization happens inside
     # jit from the f32 params).  Accuracy bounds: tests/test_quant.py.
     quantize: str = ""
-    # 'xla' | 'fused' | 'fused_tanh': fc1 + GELU fusion in the ViT MLP
-    # (models/vit.py MlpBlock -> ops/pallas/matmul.py).  'fused' keeps the
-    # torch-parity exact-erf GELU with the epilogue on the f32 accumulator
-    # (never less accurate than XLA's bf16 rounding); 'fused_tanh' swaps in
-    # the tanh approximation (quality-gated).  Measured on-chip before any
-    # default change: docs/PERF_STUDY.md §00.
+    # 'xla' | 'xla_tanh' | 'fused' | 'fused_tanh': the fc1 + GELU path in
+    # the ViT MLP (models/vit.py MlpBlock -> ops/pallas/matmul.py).
+    # 'xla_tanh' keeps plain XLA but uses the tanh GELU approximation —
+    # the exact-erf VPU pass is the measured MLP epilogue cost (tower
+    # 52.9 -> 32.7 ms on-chip, round 4).  'fused' runs the Pallas kernel
+    # with an erf epilogue on the f32 accumulator (A&S 7.1.26 form inside
+    # the kernel, |err| <= 1.5e-7 — Mosaic cannot lower lax.erf);
+    # 'fused_tanh' is the Pallas kernel with tanh.  Non-erf forms are
+    # quality-gated serving knobs.  Measurements: docs/PERF_STUDY.md §00.
     mlp_impl: str = "xla"
     # Flip test-time augmentation (monodepth/monodepth2 eval practice):
     # run the forward on the image AND its horizontal mirror, un-mirror,

@@ -31,8 +31,8 @@ from monodepth_tpu.config import ModelConfig
 from monodepth_tpu.models import disp_scale_factor
 from monodepth_tpu.models import weights as weights_lib
 
-__all__ = ["MarsDepthEstimator", "detect_source", "load_image",
-           "preprocess_image", "tta_blend"]
+__all__ = ["MarsDepthEstimator", "default_checkpoint_path", "detect_source",
+           "load_image", "preprocess_image", "tta_blend"]
 
 
 def tta_blend(disp: jnp.ndarray, disp_flipped: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +55,17 @@ def tta_blend(disp: jnp.ndarray, disp_flipped: jnp.ndarray) -> jnp.ndarray:
     mean = 0.5 * (disp + disp_flipped)
     return (r_mask * disp + l_mask * disp_flipped
             + (1.0 - l_mask - r_mask) * mean)
+
+
+def default_checkpoint_path() -> Optional[str]:
+    """Path of the committed trained checkpoint (artifacts/mars_depth_v2.pth
+    at the repo root) if it exists, else None.  Resolved relative to the
+    package so it works from any CWD; an installed/pip layout without the
+    artifacts tree simply returns None (random init, a warning from the
+    pretrained-ViT hook)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "artifacts", "mars_depth_v2.pth")
+    return path if os.path.exists(path) else None
 
 
 def detect_source(image_path: str, source: str = "auto") -> str:
@@ -128,31 +139,41 @@ class MarsDepthEstimator:
         variables = self.model.init(jax.random.PRNGKey(seed), dummy)
         variables = jax.tree_util.tree_map(np.asarray, variables)
 
-        # MONODEPTH_TPU_CHECKPOINT: the zero-egress substitute for the
+        # Default-checkpoint resolution — the zero-egress substitute for the
         # reference's auto-downloaded pretrained weights (encoder.py:29-35
-        # upstream) — a full-model default checkpoint (reference .pth or
-        # Orbax dir) every CLI picks up without flags.  An explicit
-        # ModelConfig.checkpoint always wins; a mismatched env checkpoint
-        # (e.g. a standard-model .pth under --enhanced_model) degrades to
-        # the ordinary init with a warning instead of crashing the CLI.
+        # upstream).  Order: (1) explicit ModelConfig.checkpoint (always
+        # wins; load failures raise); (2) MONODEPTH_TPU_CHECKPOINT env var —
+        # present-but-empty ("") means "no default at all"; (3) the
+        # committed artifacts/mars_depth_v2.pth, so a fresh clone runs
+        # trained weights with zero flags.  A mismatched env/committed
+        # default (e.g. a standard-model .pth under --enhanced_model)
+        # degrades to the ordinary init with a warning instead of crashing
+        # the CLI; ModelConfig.use_default_checkpoint=False skips (2)+(3)
+        # for random-init baselines.
         ckpt = self.config.checkpoint
-        env_ckpt = None
-        if not ckpt:
-            env_ckpt = os.environ.get("MONODEPTH_TPU_CHECKPOINT") or None
-            ckpt = env_ckpt
+        is_default = False
+        if not ckpt and self.config.use_default_checkpoint:
+            env_ckpt = os.environ.get("MONODEPTH_TPU_CHECKPOINT")
+            if env_ckpt is not None:
+                ckpt = env_ckpt or None
+            else:
+                ckpt = default_checkpoint_path()
+            is_default = ckpt is not None
         loaded = False
         if ckpt:
             try:
                 variables = self._load_checkpoint(variables, ckpt)
                 loaded = True
+                if is_default:
+                    print(f"Loaded default checkpoint: {ckpt}")
             except Exception:
-                if not env_ckpt:
+                if not is_default:
                     raise
                 import warnings
 
                 warnings.warn(
-                    f"MONODEPTH_TPU_CHECKPOINT={env_ckpt!r} does not load "
-                    f"into this model configuration; continuing without it.")
+                    f"default checkpoint {ckpt!r} does not load into this "
+                    f"model configuration; continuing without it.")
         if not loaded and self.config.pretrained:
             vit = weights_lib.maybe_load_pretrained_vit()
             if vit is not None:

@@ -80,21 +80,25 @@ class MlpBlock(nn.Module):
     out_dim: int
     dtype: jnp.dtype = jnp.float32
     quantize: str = ""
-    # 'xla' | 'fused' (Pallas matmul + exact-erf GELU epilogue) |
-    # 'fused_tanh' (tanh GELU approximation — quality-gated serving knob)
+    # 'xla' | 'xla_tanh' (plain XLA, tanh GELU approximation — the measured
+    # cheap win: the exact-erf VPU pass dominates the MLP epilogue cost) |
+    # 'fused' (Pallas matmul + erf GELU epilogue) | 'fused_tanh' (Pallas +
+    # tanh).  Non-erf forms are quality-gated serving knobs, never silent
+    # defaults.
     mlp_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         dense = _dense_cls(self.quantize)
-        if self.mlp_impl != "xla" and not self.quantize:
+        if self.mlp_impl.startswith("fused") and not self.quantize:
             impl = "tanh" if self.mlp_impl == "fused_tanh" else "erf"
             x = FusedDenseGelu(self.hidden_dim, dtype=self.dtype,
                                gelu_impl=impl, name="fc1")(x)
         else:
             x = dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-            # torch.nn.GELU default is the exact erf formulation.
-            x = nn.gelu(x, approximate=False)
+            # torch.nn.GELU default is the exact erf formulation; 'xla_tanh'
+            # opts into the approximate form.
+            x = nn.gelu(x, approximate=(self.mlp_impl == "xla_tanh"))
         x = dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 

@@ -21,12 +21,22 @@ torch.nn.GELU default); 'tanh' is the cheaper standard approximation whose
 deviation from erf (max ~1e-3 absolute) is of the same order as bf16 output
 rounding — a measured-quality serving knob, never a silent default.
 
+Mosaic (the Pallas TPU compiler) has no erf primitive — `jax.lax.erf`
+raises NotImplementedError at lowering (measured on-chip, round 4:
+/tmp/chip/gelu_probe.log).  Inside the kernel the 'erf' path therefore
+uses the Abramowitz & Stegun 7.1.26 rational approximation (exp-based,
+max |error| 1.5e-7 in erf, i.e. <=1e-6 in GELU for |z|<=10) — three
+orders of magnitude below one bf16 output rounding, so the kernel's
+'erf' is still strictly more accurate than the unfused XLA bf16 path.
+The jnp reference (`dense_gelu_reference`) keeps the true `lax.erf`;
+interpret-mode tests bound the kernel-vs-reference gap.
+
 Differentiable via a custom VJP whose backward is the plain jnp reference
 (XLA fuses the recomputed z = x @ W + b into the backward graph).
 
 Validated against the jnp reference in interpret mode on CPU
-(tests/test_fused_matmul.py) and A/B'd on-chip by
-scripts/dev_gelu_probe.py before any model wiring.
+(tests/test_fused_matmul.py); on-chip compile + A/B via
+scripts/dev_gelu_probe.py (round-5 session log in docs/PERF_STUDY.md).
 """
 
 from __future__ import annotations
@@ -45,11 +55,25 @@ _TANH_C0 = 0.7978845608028654   # sqrt(2/pi)
 _TANH_C1 = 0.044715
 
 
-def gelu_f32(z, impl: str = "erf"):
+def _erf_as7126_f32(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max |error| 1.5e-7): the only
+    transcendental it needs is exp, which Mosaic lowers; `jax.lax.erf`
+    does not (NotImplementedError on TPU Pallas)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def gelu_f32(z, impl: str = "erf", in_kernel: bool = False):
     """GELU on an f32 tensor. 'erf' = exact (torch default); 'tanh' = the
-    Hendrycks & Gimpel approximation."""
+    Hendrycks & Gimpel approximation.  in_kernel=True swaps `lax.erf` for
+    the A&S 7.1.26 form Mosaic can lower (module docstring, Accuracy)."""
     if impl == "erf":
-        return z * 0.5 * (1.0 + jax.lax.erf(z * (1.0 / _SQRT_2)))
+        erf = _erf_as7126_f32 if in_kernel else jax.lax.erf
+        return z * 0.5 * (1.0 + erf(z * (1.0 / _SQRT_2)))
     assert impl == "tanh", impl
     return 0.5 * z * (1.0 + jnp.tanh(_TANH_C0 * (z + _TANH_C1 * z * z * z)))
 
@@ -69,7 +93,7 @@ def _dense_gelu_kernel(x_ref, w_ref, b_ref, o_ref, *, gelu_impl):
         preferred_element_type=jnp.float32,
     )
     z = z + b_ref[...].astype(jnp.float32)
-    o_ref[...] = gelu_f32(z, gelu_impl).astype(o_ref.dtype)
+    o_ref[...] = gelu_f32(z, gelu_impl, in_kernel=True).astype(o_ref.dtype)
 
 
 def _fused_dense_gelu_impl(x, w, b, gelu_impl, block_m, block_n, interpret):

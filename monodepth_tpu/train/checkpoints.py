@@ -103,13 +103,44 @@ def restore_checkpoint(directory: str, template: Optional[Dict] = None,
         mgr.close()
 
 
+def _validate_tree(restored, template, path: str):
+    """Key-set + leaf-shape equality between a restored subtree and the
+    model template; raises ValueError naming the first mismatch so callers
+    (inference._init_variables) can warn-and-degrade instead of crashing
+    later inside the first jitted forward with an opaque flax error —
+    e.g. a standard-model Orbax checkpoint loaded under --enhanced_model
+    or a different vit_variant."""
+    r_leaves = jax.tree_util.tree_flatten_with_path(restored)[0]
+    t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    r_map = {jax.tree_util.keystr(k): v for k, v in r_leaves}
+    t_map = {jax.tree_util.keystr(k): v for k, v in t_leaves}
+    if r_map.keys() != t_map.keys():
+        missing = sorted(t_map.keys() - r_map.keys())[:3]
+        extra = sorted(r_map.keys() - t_map.keys())[:3]
+        raise ValueError(
+            f"checkpoint {path!r} does not match the model: "
+            f"missing={missing} extra={extra}")
+    for key, t_leaf in t_map.items():
+        r_shape = np.shape(r_map[key])
+        t_shape = np.shape(t_leaf)
+        if r_shape != t_shape:
+            raise ValueError(
+                f"checkpoint {path!r} leaf {key} has shape {r_shape}, "
+                f"model expects {t_shape}")
+
+
 def restore_params(directory: str, variables_template: Dict) -> Dict:
     """Restore only model variables (params + batch_stats) for inference.
 
     Training-only parameter subtrees are dropped: a `loss_mode='sequence'`
     checkpoint carries the jointly-trained PoseNet under params['pose']
     (train/adapter.py), which the depth model's apply does not accept —
-    the template's top-level param keys define what inference loads."""
+    the template's top-level param keys define what inference loads.
+
+    The kept subtrees are validated against the template (key set and leaf
+    shapes) and a ValueError is raised on mismatch, so a wrong-architecture
+    checkpoint fails HERE — where the env-checkpoint warn-and-degrade path
+    of inference._init_variables can catch it — not at the first forward."""
     state = restore_checkpoint(directory)
     if state is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
@@ -119,4 +150,7 @@ def restore_params(directory: str, variables_template: Dict) -> Dict:
                      if not template_params or k in template_params}
     if "batch_stats" in state:
         out["batch_stats"] = state["batch_stats"]
+    _validate_tree(out["params"], template_params, directory)
+    _validate_tree(out.get("batch_stats", {}),
+                   variables_template.get("batch_stats", {}), directory)
     return out

@@ -239,9 +239,11 @@ def compute_losses_supervised(
 
     The Eigen et al. 2014 scale-invariant log loss, per image:
       d = log(pred) - log(gt);  L = mean(d^2) - si_lambda * mean(d)^2
-    (si_lambda=0.85, the standard SILog setting) — invariant enough to the
-    renderer's arbitrary global scale that the [min_depth, max_depth]
-    sigmoid range needs no calibration against the render units — plus a
+    (si_lambda=0.85, the standard SILog setting).  The ground truth is
+    first rescaled PER IMAGE to mean `gt_mean_target` (calibration below):
+    SILog's partial scale invariance (si_lambda < 1) still penalizes the
+    raw renderer units enough to drag the sigmoid into saturation, so the
+    render scale IS calibrated rather than left to the loss.  On top: a
     multi-scale log-gradient matching term (structure supervision that the
     scale term alone leaves loose) and the mean-normalized edge-aware
     smoothness used by the sequence objective.

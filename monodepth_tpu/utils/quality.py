@@ -107,19 +107,36 @@ def score_depth_model(
     for i in range(len(eval_images)):
         a, b = disp[i].ravel(), mirrored[i].ravel()
         sa, sb = a.std(), b.std()
-        rs.append(float(np.corrcoef(a, b)[0, 1]) if sa > 0 and sb > 0
-                  else 0.0)
+        if sa > 0 and sb > 0:
+            rs.append(float(np.corrcoef(a, b)[0, 1]))
+        else:
+            # Zero-variance disparity: correlation is undefined.  A constant
+            # map that EQUALS its mirrored twin is perfectly flip-consistent
+            # (flip_raw_l1 = 0) — score 1.0 so the two metrics agree on the
+            # degenerate case; constant-but-different scores 0.0.
+            rs.append(1.0 if np.array_equal(a, b) else 0.0)
     flip_pearson = float(np.mean(rs))
 
     _, depth = disp_to_depth(jnp.asarray(disp), min_depth, max_depth)
     depth = np.asarray(depth)
     evaluator = MarsTerrainEvaluator()
-    proxies = []
+    proxies, comps = [], {"edge_score": [], "detail_score": [],
+                          "noise_score": [], "histogram_concentration": [],
+                          "entropy": [], "edge_preservation": []}
     for i in range(len(eval_images)):
         m = evaluator.compute_proxy_metrics(depth[i, ..., 0], eval_images[i])
         proxies.append(m["edge_score"] + m["detail_score"]
                        - 2.0 * m["noise_score"])
-    return {"flip_inconsistency": flip_inc,
-            "flip_raw_l1": flip_raw,
-            "flip_pearson": flip_pearson,
-            "proxy_score": float(np.mean(proxies))}
+        for k in comps:
+            comps[k].append(m.get(k, 0.0))
+    out = {"flip_inconsistency": flip_inc,
+           "flip_raw_l1": flip_raw,
+           "flip_pearson": flip_pearson,
+           "proxy_score": float(np.mean(proxies))}
+    # Decomposed proxy components: the aggregate (reference
+    # hyperparameter_optimization.py:220-232) rewards high-frequency
+    # content wherever it comes from, so it can rank a noisy random-init
+    # field above a smooth trained one — the components make that
+    # legible (docs/PERF_STUDY.md, proxy-inversion analysis).
+    out.update({f"proxy_{k}": float(np.mean(v)) for k, v in comps.items()})
+    return out

@@ -96,7 +96,7 @@ def main():
     print(f"synthetic training set: {n} images under {data_dir}", flush=True)
 
     cfg = TrainConfig(
-        model=ModelConfig(pretrained=False, dtype="bfloat16"),
+        model=ModelConfig(use_default_checkpoint=False, pretrained=False, dtype="bfloat16"),
         data_dir=data_dir,
         batch_size=args.batch_size,
         num_epochs=args.epochs,

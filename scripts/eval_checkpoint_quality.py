@@ -53,8 +53,12 @@ def build_estimator(args, checkpoint, pretrained=False):
     from monodepth_tpu.config import ModelConfig
     from monodepth_tpu.inference import MarsDepthEstimator
 
+    # use_default_checkpoint=False: the random-init baseline column must be
+    # genuinely random — neither MONODEPTH_TPU_CHECKPOINT nor the committed
+    # artifacts/mars_depth_v2.pth default may leak in.
     cfg = ModelConfig(pretrained=pretrained, dtype=args.dtype,
-                      enhanced=args.enhanced, checkpoint=checkpoint)
+                      enhanced=args.enhanced, checkpoint=checkpoint,
+                      use_default_checkpoint=False)
     return MarsDepthEstimator(cfg, seed=0)
 
 

@@ -24,6 +24,14 @@ import pytest  # noqa: E402
 
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 
+# The suite's baselines assume seed-determined random init: a default
+# checkpoint leaking in from the environment (or from the committed
+# artifacts/mars_depth_v2.pth auto-default) would silently turn every
+# "random init" fixture into trained weights.  Setting the env var to ""
+# disables BOTH (inference._init_variables treats a present-but-empty var
+# as "no default checkpoint"); tests that exercise the hook monkeypatch it.
+os.environ["MONODEPTH_TPU_CHECKPOINT"] = ""
+
 
 # Smoke tier (`pytest -m smoke` / `make test-smoke`): one high-value test per
 # subsystem, <=5 min on a fresh checkout, so every session gets a cheap

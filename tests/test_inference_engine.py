@@ -241,11 +241,96 @@ def test_env_default_checkpoint(tmp_path, monkeypatch, rng):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         fallback = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
-    assert any("MONODEPTH_TPU_CHECKPOINT" in str(x.message) for x in w)
-    monkeypatch.delenv("MONODEPTH_TPU_CHECKPOINT")
+    assert any("default checkpoint" in str(x.message) for x in w)
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", "")
     base = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
     np.testing.assert_array_equal(
         np.asarray(fallback.variables["params"]["decoder"]["dispconv_0"]
                    ["kernel"]),
         np.asarray(base.variables["params"]["decoder"]["dispconv_0"]
                    ["kernel"]))
+
+
+def test_default_checkpoint_resolution(tmp_path, monkeypatch):
+    """Resolution order: explicit config > env var ('' disables all
+    defaults) > the committed artifacts/mars_depth_v2.pth;
+    use_default_checkpoint=False ignores env AND committed defaults."""
+    from monodepth_tpu import inference
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+
+    # (a) committed-artifact probe: returns the path iff the file exists
+    path = inference.default_checkpoint_path()
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(inference.__file__)))
+    want = _os.path.join(root, "artifacts", "mars_depth_v2.pth")
+    assert path == (want if _os.path.exists(want) else None)
+
+    # (b) env '' disables every default: weights are the seed init
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", "")
+    a = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    # (c) flag disables defaults even with env var pointing somewhere real
+    src = MarsDepthEstimator(ModelConfig(pretrained=False), seed=42)
+    pth = str(tmp_path / "t.pth")
+    src.export_reference_checkpoint(pth)
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", pth)
+    b = MarsDepthEstimator(
+        ModelConfig(pretrained=False, use_default_checkpoint=False), seed=0)
+    np.testing.assert_array_equal(
+        np.asarray(a.variables["params"]["decoder"]["dispconv_0"]["kernel"]),
+        np.asarray(b.variables["params"]["decoder"]["dispconv_0"]["kernel"]))
+    # (d) with the flag on, the env var does load
+    c = MarsDepthEstimator(ModelConfig(pretrained=False), seed=0)
+    np.testing.assert_allclose(
+        np.asarray(c.variables["params"]["decoder"]["dispconv_0"]["kernel"]),
+        np.asarray(src.variables["params"]["decoder"]["dispconv_0"]["kernel"]),
+        rtol=1e-6)
+
+
+def test_orbax_restore_validates_against_template(tmp_path, monkeypatch):
+    """An Orbax checkpoint of a DIFFERENT architecture must fail loudly in
+    restore_params (key/shape validation) — which the env-default path
+    converts to warn-and-degrade — instead of crashing at the first jitted
+    forward with an opaque flax error (round-4 advisor, medium)."""
+    import warnings
+
+    import jax
+
+    from monodepth_tpu.config import ModelConfig
+    from monodepth_tpu.inference import MarsDepthEstimator
+    from monodepth_tpu.train.checkpoints import (
+        restore_params, save_checkpoint,
+    )
+
+    # Save a STANDARD-model state as an Orbax checkpoint.
+    std = MarsDepthEstimator(ModelConfig(
+        pretrained=False, use_default_checkpoint=False), seed=0)
+    state = {
+        "params": jax.tree_util.tree_map(np.asarray, std.variables["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            np.asarray, std.variables["batch_stats"]),
+    }
+    ckpt_dir = str(tmp_path / "std_ckpt")
+    save_checkpoint(ckpt_dir, 1, state)
+
+    # Restoring into the SAME architecture round-trips.
+    ok = restore_params(ckpt_dir, std.variables)
+    np.testing.assert_array_equal(
+        np.asarray(ok["params"]["decoder"]["dispconv_0"]["kernel"]),
+        np.asarray(std.variables["params"]["decoder"]["dispconv_0"]["kernel"]))
+
+    # Restoring into an ENHANCED template raises (missing enhanced keys).
+    enh = MarsDepthEstimator(ModelConfig(
+        pretrained=False, enhanced=True, use_default_checkpoint=False),
+        seed=0)
+    with pytest.raises(ValueError, match="does not match the model"):
+        restore_params(ckpt_dir, enh.variables)
+
+    # ... and through the env-default path it degrades with a warning.
+    monkeypatch.setenv("MONODEPTH_TPU_CHECKPOINT", ckpt_dir)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        MarsDepthEstimator(ModelConfig(pretrained=False, enhanced=True),
+                           seed=0)
+    assert any("default checkpoint" in str(x.message) for x in w)

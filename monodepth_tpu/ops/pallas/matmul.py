@@ -25,9 +25,11 @@ Mosaic (the Pallas TPU compiler) has no erf primitive — `jax.lax.erf`
 raises NotImplementedError at lowering (measured on-chip, round 4:
 /tmp/chip/gelu_probe.log).  Inside the kernel the 'erf' path therefore
 uses the Abramowitz & Stegun 7.1.26 rational approximation (exp-based,
-max |error| 1.5e-7 in erf, i.e. <=1e-6 in GELU for |z|<=10) — three
-orders of magnitude below one bf16 output rounding, so the kernel's
-'erf' is still strictly more accurate than the unfused XLA bf16 path.
+mathematical bound |error| <= 1.5e-7; evaluated in f32 the polynomial's
+own rounding brings the measured max to ~4.6e-7 over [-6, 6], asserted
+< 1e-6 by test_kernel_erf_approximation_accuracy) — still orders of
+magnitude below one bf16 output rounding, so the kernel's 'erf' is
+strictly more accurate than the unfused XLA bf16 path.
 The jnp reference (`dense_gelu_reference`) keeps the true `lax.erf`;
 interpret-mode tests bound the kernel-vs-reference gap.
 

@@ -83,17 +83,19 @@ def test_tanh_approximation_bound():
 
 def test_kernel_erf_approximation_accuracy():
     """Mosaic cannot lower lax.erf (NotImplementedError on real TPU,
-    round-4 probe), so inside the kernel 'erf' uses the A&S 7.1.26 form;
-    its documented bound is |err| <= 1.5e-7 in erf and ~1e-6 in GELU —
-    three orders below one bf16 rounding."""
+    round-4 probe), so inside the kernel 'erf' uses the A&S 7.1.26 form.
+    Its mathematical bound is |err| <= 1.5e-7, but evaluating the
+    polynomial in f32 adds its own rounding (measured max ~4.6e-7 over
+    [-6, 6]); the bound asserted here is the f32-evaluation one — still
+    four orders below one bf16 output rounding (~4e-3)."""
     from monodepth_tpu.ops.pallas.matmul import _erf_as7126_f32
 
     x = jnp.linspace(-6.0, 6.0, 50001, dtype=jnp.float32)
     d_erf = np.abs(np.asarray(_erf_as7126_f32(x) - jax.lax.erf(x)))
-    assert d_erf.max() < 2e-7, d_erf.max()
+    assert d_erf.max() < 1e-6, d_erf.max()
     d_gelu = np.abs(np.asarray(gelu_f32(x, "erf", in_kernel=True)
                                - gelu_f32(x, "erf")))
-    assert d_gelu.max() < 1e-6, d_gelu.max()
+    assert d_gelu.max() < 3e-6, d_gelu.max()
 
 
 def test_mlp_impl_xla_tanh_matches_xla_within_tanh_bound():

@@ -54,8 +54,15 @@ def test_score_depth_model_keys_and_pose_dropped(assets_root):
     variables["params"] = dict(variables["params"], pose={"w": jnp.zeros((3,))})
     imgs = load_heldout_assets(32, 48, per_source=1, assets_root=assets_root)
     scores = score_depth_model(model, variables, imgs)
-    assert set(scores) == {"flip_inconsistency", "flip_raw_l1",
-                           "flip_pearson", "proxy_score"}
+    assert set(scores) == {
+        "flip_inconsistency", "flip_raw_l1", "flip_pearson", "proxy_score",
+        # decomposed proxy components (proxy-inversion analysis,
+        # docs/PERF_STUDY.md): the aggregate alone can rank a noisy
+        # random field above a smooth trained one
+        "proxy_edge_score", "proxy_detail_score", "proxy_noise_score",
+        "proxy_histogram_concentration", "proxy_entropy",
+        "proxy_edge_preservation",
+    }
     assert np.isfinite(scores["flip_inconsistency"])
     assert scores["flip_inconsistency"] >= 0.0
     assert scores["flip_raw_l1"] >= 0.0

@@ -116,6 +116,14 @@ def parse_args(argv=None):
                              "practice): forward the image AND its mirror, "
                              "blend disparities with the Godard edge ramp. "
                              "2x forward cost, sharper left/right borders.")
+    parser.add_argument("--shape_bucket", type=int, default=128, metavar="B",
+                        help="Pad each input (edge-replicate) so H and W "
+                             "are multiples of B, crop the maps back after: "
+                             "a folder of heterogeneous image sizes shares "
+                             "a handful of compiled programs instead of "
+                             "recompiling (~20 s) per distinct shape. "
+                             "0 = compile per exact shape (reference "
+                             "behavior).")
     return parser.parse_args(argv)
 
 
@@ -368,6 +376,7 @@ def main(argv=None):
         quantize=args.quantize,
         vit_variant=args.vit,
         tta=args.tta,
+        shape_bucket=args.shape_bucket,
     )
     print(("Loading Enhanced" if args.enhanced_model else "Loading standard")
           + " Depth Anything model...")

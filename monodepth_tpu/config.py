@@ -90,6 +90,17 @@ class ModelConfig:
     # as the device's dtype-following resize (bf16 on the perf path).
     # Implies scale-0-only outputs; predict(return_all=True) is rejected.
     host_upsample: bool = False
+    # > 0: pad inputs (edge-replicate) up to the next multiple of this in H
+    # and W before the jitted forward, crop the maps back after.  Every
+    # distinct input shape is otherwise a fresh XLA compile (~20 s through
+    # the tunneled runtime); a folder of heterogeneous rover screenshots
+    # never reaches steady state without this (measured round 5: 5 images,
+    # 5 shapes, ~23 s EACH; bucketed: 4 compiles amortize across the whole
+    # 59-image corpus).  0 = off (exact reference behavior — the model
+    # itself still pads to /16 internally).  The raw `outputs` dict of
+    # predict(return_all=True) keeps the padded canvas; disp/depth/
+    # uncertainty are cropped to the true size.
+    shape_bucket: int = 0
     min_depth: float = MIN_DEPTH
     max_depth: float = MAX_DEPTH
 

@@ -107,6 +107,23 @@ def preprocess_image(image: np.ndarray) -> np.ndarray:
     return image
 
 
+def pad_to_bucket(x: np.ndarray, bucket: int):
+    """Edge-replicate-pad a [B, H, W, C] batch so H and W are multiples of
+    `bucket`; returns (padded, (H, W)).  Shape bucketing collapses a folder
+    of heterogeneous image sizes onto a handful of canvas shapes so the
+    jitted forward compiles once per CANVAS instead of once per IMAGE
+    (ModelConfig.shape_bucket).  Edge replication continues the border
+    content instead of injecting an artificial black edge the global
+    attention blocks would attend to."""
+    h, w = x.shape[1:3]
+    hb = -(-h // bucket) * bucket
+    wb = -(-w // bucket) * bucket
+    if (hb, wb) == (h, w):
+        return x, (h, w)
+    return np.pad(x, ((0, 0), (0, hb - h), (0, wb - w), (0, 0)),
+                  mode="edge"), (h, w)
+
+
 class MarsDepthEstimator:
     """Holds model + params; provides jitted single/batch prediction.
 
@@ -325,6 +342,9 @@ class MarsDepthEstimator:
         image = np.asarray(image)
         x = (image[None] if image.dtype == np.uint8
              else preprocess_image(image)[None])
+        h, w = x.shape[1:3]
+        if self.config.shape_bucket:
+            x, (h, w) = pad_to_bucket(x, self.config.shape_bucket)
         scale = disp_scale_factor(metadata)
         if return_all and self.config.host_upsample:
             raise ValueError(
@@ -335,15 +355,15 @@ class MarsDepthEstimator:
             self.variables, jnp.asarray(x), jnp.float32(scale)
         )
         if self.config.host_upsample:
-            return {k: v[0] for k, v in self._host_finalize(
+            return {k: v[0][:h, :w] for k, v in self._host_finalize(
                 outputs, disp, x.shape[1:3], 1).items()}
         result = {
-            "disp": np.asarray(disp[0, ..., 0], dtype=np.float32),
-            "depth": np.asarray(depth[0, ..., 0], dtype=np.float32),
+            "disp": np.asarray(disp[0, :h, :w, 0], dtype=np.float32),
+            "depth": np.asarray(depth[0, :h, :w, 0], dtype=np.float32),
         }
         if ("uncertainty", 0) in outputs:
             result["uncertainty"] = np.asarray(
-                outputs[("uncertainty", 0)][0, ..., 0], dtype=np.float32
+                outputs[("uncertainty", 0)][0, :h, :w, 0], dtype=np.float32
             )
         if return_all:
             result["outputs"] = {
@@ -366,6 +386,9 @@ class MarsDepthEstimator:
             x = np.stack(arrs)
         else:
             x = np.stack([preprocess_image(a) for a in arrs])
+        h, w = x.shape[1:3]
+        if self.config.shape_bucket:
+            x, (h, w) = pad_to_bucket(x, self.config.shape_bucket)
         b = x.shape[0]
         if metadatas is None:
             scales = np.ones((b,), np.float32)
@@ -392,14 +415,15 @@ class MarsDepthEstimator:
                 "with host_upsample=False for the full output dict")
         outputs, disp, depth = self._jitted_forward(self.variables, xb, sb)
         if self.config.host_upsample:
-            return self._host_finalize(outputs, disp, x.shape[1:3], b)
+            return {k: v[:, :h, :w] for k, v in self._host_finalize(
+                outputs, disp, x.shape[1:3], b).items()}
         result = {
-            "disp": np.asarray(disp[:b, ..., 0], dtype=np.float32),
-            "depth": np.asarray(depth[:b, ..., 0], dtype=np.float32),
+            "disp": np.asarray(disp[:b, :h, :w, 0], dtype=np.float32),
+            "depth": np.asarray(depth[:b, :h, :w, 0], dtype=np.float32),
         }
         if ("uncertainty", 0) in outputs:
             result["uncertainty"] = np.asarray(
-                outputs[("uncertainty", 0)][:b, ..., 0], dtype=np.float32
+                outputs[("uncertainty", 0)][:b, :h, :w, 0], dtype=np.float32
             )
         if return_all:
             result["outputs"] = {

@@ -334,3 +334,45 @@ def test_orbax_restore_validates_against_template(tmp_path, monkeypatch):
         MarsDepthEstimator(ModelConfig(pretrained=False, enhanced=True),
                            seed=0)
     assert any("default checkpoint" in str(x.message) for x in w)
+
+
+def test_pad_to_bucket_shapes_and_edge_replication(rng):
+    from monodepth_tpu.inference import pad_to_bucket
+
+    x = rng.random((1, 30, 45, 3)).astype(np.float32)
+    padded, (h, w) = pad_to_bucket(x, 32)
+    assert (h, w) == (30, 45)
+    assert padded.shape == (1, 32, 64, 3)
+    np.testing.assert_array_equal(padded[:, :30, :45], x)
+    # edge replication, not zeros: the pad continues the border row/col
+    np.testing.assert_array_equal(padded[0, 30, :45], x[0, 29])
+    np.testing.assert_array_equal(padded[0, :30, 45], x[0, :, 44])
+    np.testing.assert_array_equal(padded[0, 31, 63], x[0, 29, 44])
+    # already-aligned input is returned unchanged (no copy, no pad)
+    y = rng.random((1, 32, 64, 3)).astype(np.float32)
+    same, (h2, w2) = pad_to_bucket(y, 32)
+    assert same is y and (h2, w2) == (32, 64)
+
+
+def test_shape_bucket_crops_maps_and_reuses_compile(rng):
+    """Two images of DIFFERENT sizes inside one bucket canvas must produce
+    true-size maps from a SINGLE compiled program — the round-5 fix for
+    the ~20 s-per-image recompile on heterogeneous folders."""
+    est = MarsDepthEstimator(ModelConfig(
+        pretrained=False, use_default_checkpoint=False, shape_bucket=32))
+    out_a = est.predict(rng.random((30, 45, 3)).astype(np.float32))
+    out_b = est.predict(rng.random((27, 52, 3)).astype(np.float32))
+    assert out_a["disp"].shape == (30, 45)
+    assert out_a["depth"].shape == (30, 45)
+    assert out_b["disp"].shape == (27, 52)
+    assert np.isfinite(out_a["disp"]).all()
+    assert np.isfinite(out_b["disp"]).all()
+    cache_size = getattr(est._jitted_forward, "_cache_size", lambda: 1)()
+    assert cache_size == 1, (
+        f"expected one compiled program for one bucket canvas, "
+        f"got {cache_size}")
+    # batch path crops too
+    batch = est.predict_batch(
+        rng.random((2, 30, 45, 3)).astype(np.float32))
+    assert batch["disp"].shape == (2, 30, 45)
+    assert np.isfinite(batch["disp"]).all()

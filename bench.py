@@ -436,14 +436,17 @@ def run_all(headline_value, batch, size, repeats):
 
     _log("[bench --all] config 6: native-resolution mode @1024, batch 8 ...")
     try:
+        # mlp_impl pinned to the historical exact-erf variant so this row
+        # stays comparable across rounds; the SHIPPED default for native
+        # serving is 'auto' -> 'xla_tanh' since round 5 — that's row 6d.
         v = bench_standard(8, size, max(repeats // 3, 5),
                            native_patching=True, attn_impl="pallas",
                            attn_window=int(os.environ.get(
                                "MONODEPTH_BENCH_NATIVE_WINDOW", "16")),
-                           seq_pad_multiple=1)
+                           seq_pad_multiple=1, mlp_impl="xla")
         results.append({
             "config": "6_native_resolution_1024px",
-            "metric": "images/sec/chip, native-resolution bf16 (4096 tokens, window 16), 1024px, batch 8",
+            "metric": "images/sec/chip, native-resolution bf16 (4096 tokens, window 16, exact-erf GELU), 1024px, batch 8",
             "value": round(v, 2), "unit": "images/sec/chip",
             "vs_baseline": round(v / NORTH_STAR, 3)})
     except Exception as e:  # pragma: no cover - env-dependent
@@ -452,10 +455,13 @@ def run_all(headline_value, batch, size, repeats):
     _log("[bench --all] config 6d: native mode + tanh-GELU MLP @1024, batch 8 ...")
     try:
         # The exact-erf GELU VPU pass is the native tower's largest
-        # recoverable elementwise cost (round-4 probe: tower 52.9 -> 32.7 ms
-        # with tanh).  Quality-gated serving knob (mlp_impl='xla_tanh',
-        # deviation <= the bf16-rounding order; docs/PERF_STUDY.md §00),
-        # never a silent default — hence a separate row from config 6.
+        # recoverable elementwise cost (tower 51.9 -> 32.1 ms with tanh,
+        # round-5 on-chip probe under the trained v2 weights).  Since
+        # round 5 this IS the shipped default for native bf16 serving
+        # (ModelConfig.mlp_impl='auto'): the measured deviation from f32
+        # truth (2.38e-3 max rel) matches the bf16 rounding that path
+        # already accepts (2.34e-3).  Config 6 keeps the exact-erf
+        # variant for cross-round comparability.
         v = bench_standard(8, size, max(repeats // 3, 5),
                            native_patching=True, attn_impl="pallas",
                            attn_window=16, seq_pad_multiple=1,

@@ -61,16 +61,18 @@ class ModelConfig:
     # Serving-only; checkpoints are unchanged (quantization happens inside
     # jit from the f32 params).  Accuracy bounds: tests/test_quant.py.
     quantize: str = ""
-    # 'xla' | 'xla_tanh' | 'fused' | 'fused_tanh': the fc1 + GELU path in
-    # the ViT MLP (models/vit.py MlpBlock -> ops/pallas/matmul.py).
-    # 'xla_tanh' keeps plain XLA but uses the tanh GELU approximation —
-    # the exact-erf VPU pass is the measured MLP epilogue cost (tower
-    # 52.9 -> 32.7 ms on-chip, round 4).  'fused' runs the Pallas kernel
-    # with an erf epilogue on the f32 accumulator (A&S 7.1.26 form inside
-    # the kernel, |err| <= 1.5e-7 — Mosaic cannot lower lax.erf);
-    # 'fused_tanh' is the Pallas kernel with tanh.  Non-erf forms are
-    # quality-gated serving knobs.  Measurements: docs/PERF_STUDY.md §00.
-    mlp_impl: str = "xla"
+    # 'auto' | 'xla' | 'xla_tanh' | 'fused' | 'fused_tanh': the fc1 + GELU
+    # path in the ViT MLP (models/vit.py MlpBlock -> ops/pallas/matmul.py).
+    # 'auto' (default) resolves to 'xla_tanh' on the bf16 native serving
+    # path and 'xla' (torch-exact erf) everywhere else — round-5 on-chip
+    # A/B under the trained v2 weights: native forward 84.0 vs 69.6 img/s,
+    # tanh deviation from f32 truth (2.38e-3 max rel) indistinguishable
+    # from the bf16 rounding that path already accepts (2.34e-3).  The
+    # 'fused'/'fused_tanh' Pallas kernels compile on-chip (A&S 7.1.26 erf
+    # — Mosaic cannot lower lax.erf) but LOSE to XLA's own fusion (67.4
+    # img/s); they stay as measurement baselines, not recommendations.
+    # Measurements: docs/PERF_STUDY.md §00 + round-5 addendum.
+    mlp_impl: str = "auto"
     # Flip test-time augmentation (monodepth/monodepth2 eval practice):
     # run the forward on the image AND its horizontal mirror, un-mirror,
     # and blend with the Godard post-processing ramp (left/right 5% edges

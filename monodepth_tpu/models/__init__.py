@@ -12,6 +12,22 @@ from monodepth_tpu.models.enhanced import EnhancedDepthAnything  # noqa: F401
 from monodepth_tpu.models.pose import PoseNet  # noqa: F401
 
 
+def _resolve_mlp_impl(cfg):
+    """'auto' -> tanh GELU on the bf16 native serving path, exact erf
+    everywhere else.  Measured on-chip under the trained v2 weights
+    (round 5, scripts/dev_gelu_probe.py): native 1024px forward 84.0 vs
+    69.6 img/s, while tanh's deviation from f32 truth (2.38e-3 max rel)
+    is statistically indistinguishable from the bf16 rounding the perf
+    path already accepts (2.34e-3).  The f32 parity path and training
+    (native_patching=False) keep the torch-exact erf."""
+    impl = getattr(cfg, "mlp_impl", "auto")
+    if impl == "auto":
+        return ("xla_tanh"
+                if cfg.native_patching and cfg.dtype == "bfloat16"
+                else "xla")
+    return impl
+
+
 def build_model(cfg, *, output_scales=None):
     """ONE place that turns a ModelConfig into a model instance.
 
@@ -38,7 +54,7 @@ def build_model(cfg, *, output_scales=None):
         attn_window=cfg.attn_window,
         attn_global_pool=cfg.attn_global_pool,
         quantize=cfg.quantize,
-        mlp_impl=getattr(cfg, "mlp_impl", "xla"),
+        mlp_impl=_resolve_mlp_impl(cfg),
         remat=cfg.remat,
         vit_variant=cfg.vit_variant,
     )

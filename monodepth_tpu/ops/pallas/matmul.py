@@ -13,9 +13,22 @@ accumulator block while it is still in VMEM:
   the MXU work and DMA of block i+1 (the matmul result is awaited per-block,
   not per-op), instead of running ALL matmul blocks then ALL gelu blocks.
 
+Round-5 on-chip verdict (scripts/dev_gelu_probe.py under the trained v2
+weights): the kernel now COMPILES on real hardware (the A&S erf below) but
+LOSES to XLA's own fusion — native forward 67.4 img/s fused vs 69.6 plain
+XLA vs 84.0 with the plain-XLA tanh GELU ('xla_tanh', the shipped default
+for bf16 native serving via ModelConfig.mlp_impl='auto').  The kernel is
+retained as a measurement baseline and Pallas epilogue exemplar, not a
+recommendation.
+
 Accuracy: the epilogue applies GELU to the f32 accumulator and rounds ONCE
 to the IO dtype; the unfused XLA path rounds the matmul output to bf16
-*before* the GELU, so the kernel is never worse against an f32 ground truth.
+*before* the GELU.  Fewer roundings does NOT make it strictly more
+accurate in practice: Mosaic tiles the K-dim accumulation in a different
+order than XLA, and at bf16 input precision that reassociation dominates —
+measured max rel err vs f32 truth 3.6e-3 (kernel) vs 2.3e-3 (XLA bf16)
+on [4096, 768] x [768, 3072] (round-5 probe).  Same order, different
+constant; neither path is uniformly closer to f32.
 `gelu_impl='erf'` is the torch-parity exact form (reference torchvision MLP,
 torch.nn.GELU default); 'tanh' is the cheaper standard approximation whose
 deviation from erf (max ~1e-3 absolute) is of the same order as bf16 output

@@ -98,11 +98,11 @@ def main(argv=None):
         os.environ["MONODEPTH_TPU_VIT_WEIGHTS"] = ckpt
         ckpt, pretrained = None, True
     variants = {
-        "bf16": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="bfloat16",
+        "bf16": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="bfloat16",
                             checkpoint=ckpt),
-        "f32": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="float32",
+        "f32": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="float32",
                            checkpoint=ckpt),
-        "bf16_host_upsample": ModelConfig(use_default_checkpoint=False, pretrained=pretrained,
+        "bf16_host_upsample": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained,
                                           dtype="bfloat16",
                                           checkpoint=ckpt,
                                           host_upsample=True),

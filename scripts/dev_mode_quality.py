@@ -61,17 +61,17 @@ def main():
     images = [load_image(p, max_size) for p in paths]
 
     modes = {
-        "parity_224": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="bfloat16",
+        "parity_224": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="bfloat16",
                                   checkpoint=ckpt),
-        "native_global": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="bfloat16",
+        "native_global": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="bfloat16",
                                      checkpoint=ckpt,
                                      native_patching=True, attn_window=0,
                                      seq_pad_multiple=1),
-        "native_win16": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="bfloat16",
+        "native_win16": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="bfloat16",
                                     checkpoint=ckpt,
                                     native_patching=True, attn_window=16,
                                     seq_pad_multiple=1),
-        "native_win16_sra2": ModelConfig(use_default_checkpoint=False, pretrained=pretrained, dtype="bfloat16",
+        "native_win16_sra2": ModelConfig(use_default_checkpoint=False, shape_bucket=512, pretrained=pretrained, dtype="bfloat16",
                                          checkpoint=ckpt,
                                          native_patching=True, attn_window=16,
                                          attn_global_pool=2,

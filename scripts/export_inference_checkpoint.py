@@ -4,13 +4,13 @@
 The training adapter's Orbax states carry params + optimizer moments
 (~1 GB, gitignored); this exports just the model weights as a
 reference-format .pth — the artifact that gets committed
-(artifacts/mars_depth_v1.pth) and that `MONODEPTH_TPU_CHECKPOINT` makes
+(artifacts/mars_depth_v2.pth) and that the default-checkpoint resolution makes
 the default for every CLI.  Runs entirely on CPU so it can execute while
 a TPU job holds the grant.
 
 Usage:
   python scripts/export_inference_checkpoint.py \
-      --ckpt artifacts/ckpt_supervised --out artifacts/mars_depth_v1.pth \
+      --ckpt artifacts/ckpt_supervised_v2 --out artifacts/mars_depth_v2.pth \
       [--half] [--enhanced]
 """
 

@@ -131,3 +131,13 @@ def test_adapter_starts_from_model_weights(tiny_train_tree, tmp_path):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_run_mars_depth_shape_bucket_default():
+    """Folder inference buckets shapes by default (round 5: ~20 s recompile
+    per distinct image size otherwise); 0 restores per-shape compiles."""
+    args = run_mars_depth.parse_args(["--input", "x.png"])
+    assert args.shape_bucket == 128
+    args = run_mars_depth.parse_args(["--input", "x.png",
+                                      "--shape_bucket", "0"])
+    assert args.shape_bucket == 0
